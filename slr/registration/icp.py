@@ -1,0 +1,87 @@
+"""Point-to-plane ICP, fully on-device (SURVEY.md component 15, 4.6).
+
+Each iteration: (1) transform source points by the current pose,
+(2) tiled-matmul nearest neighbours in the target (slr.registration.nn),
+(3) distance-gated correspondence rejection, (4) closed-form 6-dof
+point-to-plane Gauss-Newton update from 6x6 normal equations accumulated
+with einsum. Fixed iteration count in lax.scan keeps one compiled graph;
+the 6x6 accumulation is exactly the quantity a multi-device run psums
+(slr.dist), so the distributed and single-chip paths share this code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slr.geom.se3 import se3_compose, so3_exp
+from slr.registration.nn import nearest_neighbors
+
+
+class ICPResult(NamedTuple):
+    R: jnp.ndarray          # (3,3) source -> target rotation
+    t: jnp.ndarray          # (3,)
+    rms: jnp.ndarray        # final inlier point-to-plane RMS
+    inlier_frac: jnp.ndarray
+
+
+def _solve_point_to_plane(src, tgt, nrm, w):
+    """One GN step: minimize sum w ((R src + t - tgt) . n)^2, small-angle.
+
+    Returns (xi (6,) = [tau, omega], mean abs residual). A_i = [n, src x n].
+    """
+    e = jnp.sum((src - tgt) * nrm, axis=1)          # residuals
+    c = jnp.cross(src, nrm)
+    A = jnp.concatenate([nrm, c], axis=1)            # (N,6) [t | omega]
+    Aw = A * w[:, None]
+    H = Aw.T @ A                                     # 6x6
+    g = Aw.T @ e
+    H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
+    xi = -jnp.linalg.solve(H, g)
+    return xi, e
+
+
+@partial(jax.jit, static_argnames=("iters", "nn_tile"))
+def icp_point_to_plane(
+    src,                     # (N,3) source points
+    tgt,                     # (M,3) target points
+    tgt_normals,             # (M,3)
+    src_valid=None,          # (N,) bool
+    tgt_valid=None,          # (M,) bool
+    R0=None,
+    t0=None,
+    iters: int = 20,
+    max_corr_dist: float = 10.0,
+    nn_tile: int = 2048,
+) -> ICPResult:
+    N = src.shape[0]
+    if src_valid is None:
+        src_valid = jnp.ones((N,), bool)
+    R0 = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
+    t0 = jnp.zeros(3, jnp.float32) if t0 is None else t0
+    max_d2 = max_corr_dist * max_corr_dist
+
+    def body(carry, _):
+        R, t = carry
+        moved = src @ R.T + t
+        idx, d2 = nearest_neighbors(moved, tgt, tgt_valid, tile=nn_tile)
+        q = tgt[idx]
+        n = tgt_normals[idx]
+        w = (src_valid & (d2 < max_d2)).astype(jnp.float32)
+        xi, e = _solve_point_to_plane(moved, q, n, w)
+        dR = so3_exp(xi[3:])
+        dt = xi[:3]
+        # update: p -> dR @ p + dt applied after current pose
+        R_new, t_new = se3_compose(dR, dt, R, t)
+        wsum = jnp.sum(w) + 1e-9
+        rms = jnp.sqrt(jnp.sum(w * e * e) / wsum)
+        inl = wsum / (jnp.sum(src_valid.astype(jnp.float32)) + 1e-9)
+        return (R_new, t_new), (rms, inl)
+
+    (R, t), (rms_hist, inl_hist) = jax.lax.scan(
+        body, (R0, t0), None, length=iters
+    )
+    return ICPResult(R=R, t=t, rms=rms_hist[-1], inlier_frac=inl_hist[-1])

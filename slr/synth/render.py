@@ -1,0 +1,135 @@
+"""Virtual scanner forward model: depth map + rig + patterns -> frame stack.
+
+For each camera pixel: cast the (undistorted) camera ray to the scene depth,
+project the 3D point into the projector, bilinearly sample each projected
+pattern there, apply albedo/ambient and optional sensor noise. Exact ground
+truth (true 3D points, true projector coords, true visibility mask) rides
+along for the tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from slr.config import PatternConfig
+from slr.codec.patterns import generate_pattern_stack
+from slr.geom.camera import Camera, make_camera, pixel_to_ray, project
+
+
+class RenderedScan(NamedTuple):
+    frames: jnp.ndarray       # (F, H, W) captured stack in [0,1]
+    points_true: jnp.ndarray  # (H, W, 3) ground-truth 3D points (world=cam frame)
+    xp_true: jnp.ndarray      # (H, W) true projector column (sub-pixel)
+    yp_true: jnp.ndarray      # (H, W) true projector row
+    mask_true: jnp.ndarray    # (H, W) bool: point illuminated by projector
+
+
+def default_rig(cam_w: int = 1280, cam_h: int = 1024, proj_w: int = 1024,
+                proj_h: int = 768, baseline: float = 200.0,
+                toe_in_deg: float = 12.0, cam_dist=None, proj_dist=None):
+    """A plausible scanner rig: camera at origin, projector offset along -x
+    with a toe-in rotation so both frustums overlap around z ~ 500."""
+    f_c = 0.9 * cam_w
+    cam = make_camera(
+        fx=f_c, fy=f_c, cx=cam_w / 2 - 0.5, cy=cam_h / 2 - 0.5,
+        dist=cam_dist,
+    )
+    th = jnp.deg2rad(toe_in_deg)
+    # world->proj rotation about y; the projector sits at x=+baseline in
+    # world and its optical axis R^T e_z = (-sin th, 0, cos th) is toed in
+    # toward the camera's view volume around (0, 0, ~500).
+    R = jnp.array(
+        [
+            [jnp.cos(th), 0.0, jnp.sin(th)],
+            [0.0, 1.0, 0.0],
+            [-jnp.sin(th), 0.0, jnp.cos(th)],
+        ],
+        jnp.float32,
+    )
+    C = jnp.array([baseline, 0.0, 0.0], jnp.float32)  # projector centre, world
+    t = -R @ C
+    f_p = 1.2 * proj_w
+    proj = make_camera(
+        fx=f_p, fy=f_p, cx=proj_w / 2 - 0.5, cy=proj_h / 2 - 0.5,
+        dist=proj_dist, R=R, t=t,
+    )
+    return cam, proj
+
+
+def _bilinear_sample(img, x, y):
+    """Sample (H,W) image at float coords, clamped to borders."""
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "ambient", "noise_std"))
+def render_scan(
+    cam: Camera,
+    proj: Camera,
+    depth,                      # (H, W) camera-frame depth along z
+    cfg: PatternConfig,
+    albedo: Optional[jnp.ndarray] = None,   # (H, W) in [0,1]
+    ambient: float = 0.05,
+    noise_std: float = 0.0,
+    key: Optional[jax.Array] = None,
+) -> RenderedScan:
+    H, W = depth.shape
+    v, u = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    o, d = pixel_to_ray(cam, u, v)
+    dz = jnp.where(jnp.abs(d[..., 2]) < 1e-9, 1e-9, d[..., 2])
+    pts = o + (depth / dz)[..., None] * d           # (H, W, 3)
+
+    uv_p, z_p = project(proj, pts)
+    xp, yp = uv_p[..., 0], uv_p[..., 1]
+    illuminated = (
+        (z_p > 0)
+        & (xp >= 0) & (xp <= cfg.proj_width - 1)
+        & (yp >= 0) & (yp <= cfg.proj_height - 1)
+    )
+
+    patterns = generate_pattern_stack(cfg)          # (F, Hp, Wp)
+    sample = jax.vmap(lambda img: _bilinear_sample(img, xp, yp))
+    proj_light = sample(patterns)                   # (F, H, W)
+    proj_light = jnp.where(illuminated[None], proj_light, 0.0)
+
+    if albedo is None:
+        albedo = jnp.ones((H, W), jnp.float32)
+    frames = albedo[None] * (ambient + (1.0 - ambient) * proj_light)
+
+    if noise_std > 0.0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        frames = frames + noise_std * jax.random.normal(key, frames.shape)
+    frames = jnp.clip(frames, 0.0, 1.0)
+
+    return RenderedScan(
+        frames=frames,
+        points_true=pts,
+        xp_true=xp,
+        yp_true=yp,
+        mask_true=illuminated,
+    )

@@ -1,0 +1,106 @@
+"""Calibration tests: closed-form + LM vs ground truth and vs cv2.
+
+SURVEY.md section 6 "parity tests vs OpenCV": cv2.calibrateCamera on the
+same synthetic corners is the oracle; tolerances per SURVEY (intrinsics
+relative ~1e-3..1e-4 depending on noise, sub-mm reprojection).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slr.calib import (
+    board_object_points, synth_board_views, homography_dlt,
+    calibrate_camera, stereo_calibrate, calibrate_projector,
+)
+from slr.geom.camera import make_camera, project
+from slr.geom.se3 import so3_exp
+
+FX, FY, CX, CY = 1150.0, 1120.0, 639.5, 511.5
+DIST = [-0.18, 0.04, 0.0008, -0.0006, 0.0]
+
+
+def _cam():
+    return make_camera(FX, FY, CX, CY, dist=DIST)
+
+
+def test_homography_exact():
+    cam = make_camera(FX, FY, CX, CY)  # no distortion for pure homography
+    obj, img, rv, tv = synth_board_views(cam, 9, 6, 20.0, 1, seed=2)
+    H = homography_dlt(obj[:, :2], img[0])
+    xy1 = jnp.concatenate([obj[:, :2], jnp.ones((obj.shape[0], 1))], axis=1)
+    uvw = (H @ xy1.T).T
+    uv = uvw[:, :2] / uvw[:, 2:3]
+    assert float(jnp.max(jnp.abs(uv - img[0]))) < 1e-2
+
+
+def test_calibrate_camera_noiseless_recovers_truth():
+    cam = _cam()
+    obj, img, rv, tv = synth_board_views(cam, 9, 6, 20.0, 8, seed=3)
+    res = calibrate_camera(obj, img)
+    assert float(res.rms) < 0.05, float(res.rms)
+    np.testing.assert_allclose(float(res.camera.fx), FX, rtol=2e-3)
+    np.testing.assert_allclose(float(res.camera.fy), FY, rtol=2e-3)
+    np.testing.assert_allclose(float(res.camera.cx), CX, atol=2.0)
+    np.testing.assert_allclose(float(res.camera.cy), CY, atol=2.0)
+    np.testing.assert_allclose(
+        np.asarray(res.camera.dist[:2]), DIST[:2], atol=5e-3
+    )
+
+
+def test_calibrate_camera_parity_with_cv2():
+    cv2 = pytest.importorskip("cv2")
+    cam = _cam()
+    obj, img, rv, tv = synth_board_views(cam, 9, 6, 20.0, 10, seed=4,
+                                         noise_px=0.1)
+    objpts = [np.asarray(obj, np.float32)] * img.shape[0]
+    imgpts = [np.asarray(v, np.float32).reshape(-1, 1, 2) for v in img]
+    rms_cv, K_cv, dist_cv, _, _ = cv2.calibrateCamera(
+        objpts, imgpts, (1280, 1024), None, None
+    )
+    res = calibrate_camera(obj, img)
+    # both should land on the same optimum
+    np.testing.assert_allclose(float(res.camera.fx), K_cv[0, 0], rtol=2e-3)
+    np.testing.assert_allclose(float(res.camera.fy), K_cv[1, 1], rtol=2e-3)
+    np.testing.assert_allclose(float(res.camera.cx), K_cv[0, 2], atol=1.5)
+    np.testing.assert_allclose(float(res.camera.cy), K_cv[1, 2], atol=1.5)
+    np.testing.assert_allclose(
+        np.asarray(res.camera.dist[:2]), dist_cv.ravel()[:2], atol=2e-2
+    )
+    # reprojection quality within 20% of cv2's
+    assert float(res.rms) < max(1.25 * rms_cv, 0.15), (float(res.rms), rms_cv)
+
+
+def test_stereo_calibrate_recovers_relative_pose():
+    cam = _cam()
+    # ground-truth projector: offset + toe-in, own intrinsics
+    th = np.deg2rad(10.0)
+    R_rel = jnp.asarray(
+        [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
+        jnp.float32,
+    )
+    C = jnp.asarray([180.0, 10.0, 5.0], jnp.float32)
+    t_rel = -R_rel @ C
+    projector = make_camera(900.0, 890.0, 511.5, 383.5,
+                            dist=[-0.05, 0.01, 0, 0, 0], R=R_rel, t=t_rel)
+
+    obj, img_c, rvs, tvs = synth_board_views(cam, 9, 6, 20.0, 8, seed=5)
+    # projector "sees" the same corners through the relative pose
+    img_p = []
+    for v in range(img_c.shape[0]):
+        R = so3_exp(rvs[v])
+        pts = (R @ obj.T).T + tvs[v]
+        uv, _ = project(projector, pts)
+        img_p.append(uv)
+    img_p = jnp.stack(img_p)
+
+    cam_res = calibrate_camera(obj, img_c)
+    proj_res = calibrate_projector(obj, img_p)
+    st = stereo_calibrate(obj, img_c, img_p, cam_res, proj_res)
+    assert float(st.rms) < 0.05, float(st.rms)
+    np.testing.assert_allclose(np.asarray(st.proj.R), np.asarray(R_rel),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st.proj.t), np.asarray(t_rel),
+                               rtol=0.02, atol=0.5)
+    np.testing.assert_allclose(float(st.proj.fx), 900.0, rtol=5e-3)

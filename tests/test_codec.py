@@ -1,0 +1,182 @@
+"""Tests for Gray-code/phase-shift codecs and unwrapping.
+
+Property tests over all stripe indices, analytic fringe recovery with noise
+bounds, and order-correction behaviour at code boundaries (SURVEY.md
+section 6).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slr.codec import (
+    gray_encode, gray_decode_int, generate_gray_patterns, decode_gray,
+    generate_phase_patterns, decode_phase, unwrap_temporal,
+    spatial_quality_unwrap, generate_pattern_stack, decode_stack,
+)
+from slr.config import DecodeConfig, PatternConfig
+
+TWO_PI = 2.0 * np.pi
+
+
+def test_gray_roundtrip_property():
+    n = jnp.arange(1 << 12)
+    g = gray_encode(n)
+    # gray code: consecutive values differ in exactly one bit
+    diff = g[1:] ^ g[:-1]
+    assert bool(jnp.all((diff & (diff - 1)) == 0))
+    back = gray_decode_int(g, 12)
+    assert bool(jnp.all(back == n))
+
+
+def test_gray_pattern_decode_all_columns():
+    W, bits = 1024, 10
+    pats = generate_gray_patterns(W, bits)           # (bits, W)
+    frames = jnp.broadcast_to(pats[:, None, :], (bits, 4, W))
+    inv = 1.0 - frames
+    white = jnp.ones((4, W))
+    black = jnp.zeros((4, W))
+    code, mask = decode_gray(frames, inv, white, black, bits)
+    stripe_true = (jnp.arange(W) * (1 << bits)) // W
+    assert bool(jnp.all(mask))
+    assert bool(jnp.all(code == stripe_true[None, :]))
+
+
+def test_gray_mask_rejects_shadow():
+    W, bits = 256, 8
+    pats = generate_gray_patterns(W, bits)
+    frames = jnp.broadcast_to(pats[:, None, :], (bits, 2, W)) * 0.02  # dark
+    inv = (1.0 - jnp.broadcast_to(pats[:, None, :], (bits, 2, W))) * 0.02
+    white = jnp.full((2, W), 0.03)
+    black = jnp.zeros((2, W))
+    _, mask = decode_gray(frames, inv, white, black, bits,
+                          black_threshold=0.1, white_threshold=0.02)
+    assert not bool(jnp.any(mask))
+
+
+def test_phase_decode_analytic():
+    W, pitch, N = 512, 32.0, 4
+    pats = generate_phase_patterns(W, pitch, N)      # (N, W)
+    frames = jnp.broadcast_to(pats[:, None, :], (N, 3, W))
+    phi, B = decode_phase(frames, N)
+    x = jnp.arange(W, dtype=jnp.float32)
+    phi_true = jnp.mod(TWO_PI * x / pitch, TWO_PI)
+    err = jnp.abs(phi[0] - phi_true[None, :][0])
+    err = jnp.minimum(err, TWO_PI - err)             # circular distance
+    assert float(jnp.max(err)) < 1e-4
+    np.testing.assert_allclose(np.asarray(B), 0.5, atol=1e-4)
+
+
+def test_phase_decode_noise_floor():
+    W, pitch, N = 512, 32.0, 4
+    pats = generate_phase_patterns(W, pitch, N)
+    key = jax.random.PRNGKey(0)
+    noise = 0.01 * jax.random.normal(key, (N, 16, W))
+    frames = jnp.broadcast_to(pats[:, None, :], (N, 16, W)) + noise
+    phi, B = decode_phase(frames, N)
+    x = jnp.arange(W, dtype=jnp.float32)
+    phi_true = jnp.mod(TWO_PI * x / pitch, TWO_PI)
+    err = jnp.abs(phi - phi_true[None, :])
+    err = jnp.minimum(err, TWO_PI - err)
+    # phase noise ~ sqrt(2/N) * sigma / B = sqrt(0.5)*0.01/0.5 ~ 0.014 rad
+    assert float(jnp.percentile(err, 99.0)) < 0.1
+
+
+def test_unwrap_temporal_half_shifted_exact():
+    """Full synthetic 1-D axis: shifted cyclic code + fringes -> exact x."""
+    W, bits = 1024, 6
+    pitch = W / (1 << bits)
+    x = jnp.arange(W, dtype=jnp.float32)[None, :]    # (1, W) as an image row
+    # phase truth in f64 to avoid mod-reduction knife edges at phi == pi
+    phi = jnp.asarray(
+        np.mod(TWO_PI * np.arange(W, dtype=np.float64) / pitch, TWO_PI),
+        jnp.float32,
+    )[None, :]
+    n = 1 << bits
+    stripe = ((2 * jnp.arange(W) * n + W) // (2 * W)) % n
+    Phi = unwrap_temporal(phi, stripe[None, :], bits, half_shifted=True)
+    x_rec = Phi * pitch / TWO_PI
+    assert float(jnp.max(jnp.abs(x_rec - x))) < 1e-3
+
+
+def test_unwrap_temporal_robust_to_code_noise():
+    """Flip codes near stripe transitions by +-1: unwrap must self-correct
+    because transitions sit mid-fringe (half-shifted layout)."""
+    W, bits = 1024, 6
+    pitch = W / (1 << bits)
+    n = 1 << bits
+    x = jnp.arange(W, dtype=jnp.float32)
+    phi = jnp.mod(TWO_PI * x / pitch, TWO_PI)
+    stripe = ((2 * jnp.arange(W) * n + W) // (2 * W)) % n
+    # corrupt: near each transition, code jitters one stripe early/late
+    frac = jnp.mod(x / pitch + 0.5, 1.0)
+    near_edge = (frac < 0.06) | (frac > 0.94)
+    noisy = jnp.where(near_edge, (stripe + 1) % n, stripe)
+    Phi = unwrap_temporal(phi[None], noisy[None], bits, half_shifted=True)
+    x_rec = Phi[0] * pitch / TWO_PI
+    err = jnp.abs(x_rec - x)
+    # jittered codes at the edge move the answer by a full stripe for the
+    # corrupted pixels ONLY if phi disagrees; half-shift tolerates +-1 code
+    # errors whenever the pixel is not exactly at the transition.
+    ok = err < 1e-3
+    frac_bad = 1.0 - jnp.mean(ok.astype(jnp.float32))
+    assert float(frac_bad) < 0.07  # only the truly ambiguous edge sliver
+
+
+def test_unwrap_temporal_aligned_mode():
+    W, bits = 512, 5
+    pitch = W / (1 << bits)
+    x = jnp.arange(W, dtype=jnp.float32)
+    phi = jnp.mod(TWO_PI * x / pitch, TWO_PI)
+    stripe = (jnp.arange(W) * (1 << bits)) // W
+    Phi = unwrap_temporal(phi[None], stripe[None], bits, half_shifted=False)
+    x_rec = Phi[0] * pitch / TWO_PI
+    # interior pixels exact; boundary pixels may sit on the wrap
+    err = jnp.abs(x_rec - x)
+    assert float(jnp.percentile(err, 95)) < 1e-3
+
+
+def test_spatial_quality_unwrap_repairs_outliers():
+    H, W = 32, 64
+    Phi_true = jnp.broadcast_to(
+        jnp.linspace(0, 40.0, W)[None, :], (H, W)
+    ).astype(jnp.float32)
+    q = jnp.ones((H, W), jnp.float32)
+    # inject isolated 2pi fringe-order errors at low-quality pixels
+    rng = np.random.default_rng(0)
+    bad = np.zeros((H, W), bool)
+    bad[rng.integers(1, H - 1, 40), rng.integers(1, W - 1, 40)] = True
+    bad = jnp.asarray(bad)
+    Phi_noisy = jnp.where(bad, Phi_true + TWO_PI * 2.0, Phi_true)
+    q = jnp.where(bad, 0.1, 1.0)
+    mask = jnp.ones((H, W), bool)
+    Phi_fixed = spatial_quality_unwrap(Phi_noisy, q, mask, iters=8)
+    err = jnp.abs(Phi_fixed - Phi_true)
+    assert float(jnp.max(err)) < 0.8  # all 2pi jumps removed
+
+
+def test_pattern_stack_shapes_and_decode_roundtrip():
+    """Direct capture (camera == projector pixels): decode must be exact."""
+    cfg = PatternConfig(proj_width=256, proj_height=64, gray_bits=5,
+                        phase_steps=4)
+    dec = DecodeConfig()
+    stack = generate_pattern_stack(cfg)
+    assert stack.shape == (cfg.num_frames, 64, 256)
+    res = decode_stack(stack, cfg, dec)
+    x_true = jnp.broadcast_to(jnp.arange(256, dtype=jnp.float32)[None, :], (64, 256))
+    err = jnp.abs(res.x_p - x_true)
+    valid = res.mask
+    assert float(jnp.mean(valid.astype(jnp.float32))) > 0.8
+    assert float(jnp.max(jnp.where(valid, err, 0.0))) < 0.05
+
+
+def test_pattern_stack_gray_only_decode():
+    cfg = PatternConfig(proj_width=256, proj_height=32, gray_bits=8,
+                        phase_steps=0)
+    dec = DecodeConfig()
+    stack = generate_pattern_stack(cfg)
+    res = decode_stack(stack, cfg, dec)
+    x_true = jnp.arange(256, dtype=jnp.float32)[None, :]
+    err = jnp.abs(res.x_p - x_true)
+    # gray-only: half-stripe quantization => max error 0.5 px at 8 bits/256
+    assert float(jnp.max(jnp.where(res.mask, err, 0.0))) <= 0.5 + 1e-5

@@ -1,0 +1,175 @@
+"""Registration tests: NN vs scipy, ICP/RANSAC pose recovery, pose graph.
+
+SURVEY.md section 6: correctness of the grid-hash/brute NN vs scipy
+cKDTree; ICP recovery of known perturbations; pose-graph convergence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slr.geom.se3 import so3_exp, se3_compose, se3_inverse
+from slr.registration import (
+    nearest_neighbors, grid_normals, icp_point_to_plane,
+    fpfh_features, ransac_align, pose_graph_optimize, voxel_downsample,
+)
+
+
+def _bumpy_cloud(n=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-100, 100, (n, 2))
+    z = 500 + 20 * np.sin(xy[:, 0] / 25.0) * np.cos(xy[:, 1] / 30.0) \
+        + 8 * np.sin(xy[:, 1] / 12.0)
+    return jnp.asarray(np.column_stack([xy, z]), jnp.float32)
+
+
+def test_nearest_neighbors_vs_scipy():
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(1)
+    tgt = rng.uniform(-50, 50, (3000, 3)).astype(np.float32)
+    qry = rng.uniform(-50, 50, (500, 3)).astype(np.float32)
+    idx, d2 = nearest_neighbors(jnp.asarray(qry), jnp.asarray(tgt), tile=512)
+    tree = cKDTree(tgt)
+    d_ref, i_ref = tree.query(qry)
+    np.testing.assert_array_equal(np.asarray(idx), i_ref)
+    # the |q|^2+|t|^2-2qt expansion loses ~1e-3 to f32 cancellation
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), d_ref, rtol=1e-3, atol=5e-3)
+
+
+def test_nearest_neighbors_respects_valid_mask():
+    tgt = jnp.asarray([[0.0, 0, 0], [10, 0, 0]], jnp.float32)
+    qry = jnp.asarray([[1.0, 0, 0]], jnp.float32)
+    valid = jnp.asarray([False, True])
+    idx, d2 = nearest_neighbors(qry, tgt, valid, tile=2)
+    assert int(idx[0]) == 1
+
+
+def test_grid_normals_plane():
+    H, W = 32, 32
+    v, u = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                        jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    # plane z = 500 + 0.5x  -> normal ~ (-0.5, 0, 1)/|.| flipped toward cam
+    pts = jnp.stack([u, v, 500.0 + 0.5 * u], axis=-1)
+    n = grid_normals(pts)
+    expected = np.array([-0.5, 0, 1.0]) / np.linalg.norm([-0.5, 0, 1.0])
+    expected = -expected  # oriented toward origin (camera)
+    inner = n[5:-5, 5:-5]
+    err = jnp.linalg.norm(inner - jnp.asarray(expected, jnp.float32), axis=-1)
+    assert float(jnp.max(err)) < 1e-3
+
+
+def test_icp_recovers_small_pose():
+    src = _bumpy_cloud(4000)
+    rv = jnp.asarray([0.01, -0.02, 0.015], jnp.float32)
+    R_true = so3_exp(rv)
+    t_true = jnp.asarray([3.0, -2.0, 4.0], jnp.float32)
+    tgt = src @ R_true.T + t_true
+    # target normals from analytic neighborhood (use grid proxy: refit via
+    # local plane with jax NN would be heavy; use the surface derivative)
+    x, y = tgt[:, 0], tgt[:, 1]
+    # numerical normals via nearest neighbors on target: use grid_normals on
+    # a rasterized version is overkill; approximate with analytic normals of
+    # the underlying surface transformed by R (valid for the test's smooth
+    # surface)
+    gx = 20 * np.cos(np.asarray(src[:, 0]) / 25.0) / 25.0 * np.cos(np.asarray(src[:, 1]) / 30.0)
+    gy = -20 * np.sin(np.asarray(src[:, 0]) / 25.0) * np.sin(np.asarray(src[:, 1]) / 30.0) / 30.0 \
+        + 8 * np.cos(np.asarray(src[:, 1]) / 12.0) / 12.0
+    n0 = np.column_stack([-gx, -gy, np.ones_like(gx)])
+    n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+    n_tgt = jnp.asarray(n0, jnp.float32) @ R_true.T
+
+    res = icp_point_to_plane(src, tgt, n_tgt, iters=15, max_corr_dist=20.0,
+                             nn_tile=1024)
+    np.testing.assert_allclose(np.asarray(res.R), np.asarray(R_true), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_true), atol=0.5)
+    assert float(res.rms) < 0.2
+
+
+def test_fpfh_ransac_coarse_alignment():
+    src = _bumpy_cloud(1500, seed=3)
+    rv = jnp.asarray([0.05, 0.1, 0.4], jnp.float32)   # big in-plane rotation
+    R_true = so3_exp(rv)
+    t_true = jnp.asarray([30.0, -25.0, 15.0], jnp.float32)
+    tgt = src @ R_true.T + t_true
+
+    def normals_of(p, Rm=None):
+        gx = 20 * np.cos(np.asarray(src[:, 0]) / 25.0) / 25.0 * np.cos(np.asarray(src[:, 1]) / 30.0)
+        gy = -20 * np.sin(np.asarray(src[:, 0]) / 25.0) * np.sin(np.asarray(src[:, 1]) / 30.0) / 30.0 \
+            + 8 * np.cos(np.asarray(src[:, 1]) / 12.0) / 12.0
+        n0 = np.column_stack([-gx, -gy, np.ones_like(gx)])
+        n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+        n = jnp.asarray(n0, jnp.float32)
+        return n if Rm is None else n @ Rm.T
+
+    f_src = fpfh_features(src, normals_of(src), k=12)
+    f_tgt = fpfh_features(tgt, normals_of(tgt, R_true), k=12)
+    R, t, inl = ransac_align(src, f_src, tgt, f_tgt, n_iters=512,
+                             inlier_dist=3.0)
+    # coarse: within a few degrees / units, enough for ICP to take over
+    rot_err = np.degrees(
+        np.arccos(np.clip((np.trace(np.asarray(R).T @ np.asarray(R_true)) - 1) / 2, -1, 1))
+    )
+    assert rot_err < 5.0, rot_err
+    assert float(jnp.linalg.norm(t - t_true)) < 10.0
+
+
+def test_pose_graph_closes_loop():
+    rng = np.random.default_rng(5)
+    S = 6
+    # ground-truth poses around a loop
+    R_true, t_true = [jnp.eye(3)], [jnp.zeros(3)]
+    for s in range(1, S):
+        rv = jnp.asarray(rng.uniform(-0.2, 0.2, 3), jnp.float32)
+        tv = jnp.asarray(rng.uniform(-20, 20, 3), jnp.float32)
+        R, t = se3_compose(R_true[-1], t_true[-1], so3_exp(rv), tv)
+        R_true.append(R); t_true.append(t)
+    R_true, t_true = jnp.stack(R_true), jnp.stack(t_true)
+
+    edges = [(s, s + 1) for s in range(S - 1)] + [(S - 1, 0), (0, 2)]
+    ei = jnp.asarray([e[0] for e in edges])
+    ej = jnp.asarray([e[1] for e in edges])
+    Zr, Zt = [], []
+    for (i, j) in edges:
+        Ri_inv, ti_inv = se3_inverse(R_true[i], t_true[i])
+        Rz, tz = se3_compose(Ri_inv, ti_inv, R_true[j], t_true[j])
+        # measurement noise
+        nr = so3_exp(jnp.asarray(rng.normal(0, 0.002, 3), jnp.float32))
+        Zr.append(Rz @ nr)
+        Zt.append(tz + jnp.asarray(rng.normal(0, 0.05, 3), jnp.float32))
+    Zr, Zt = jnp.stack(Zr), jnp.stack(Zt)
+
+    # init: odometry accumulation (drifts), then optimize
+    R0, t0 = [jnp.eye(3)], [jnp.zeros(3)]
+    for s in range(S - 1):
+        R, t = se3_compose(R0[-1], t0[-1], Zr[s], Zt[s])
+        R0.append(R); t0.append(t)
+    res = pose_graph_optimize(jnp.stack(R0), jnp.stack(t0), ei, ej, Zr, Zt,
+                              iters=10)
+    assert float(res.rms) < 0.05
+    # poses near truth (gauge: pose0 anchored at identity = truth)
+    err_t = jnp.linalg.norm(res.t - t_true, axis=1)
+    assert float(jnp.max(err_t)) < 1.0, np.asarray(err_t)
+
+
+def test_voxel_downsample_matches_numpy():
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-10, 10, (2000, 3)).astype(np.float32)
+    valid = rng.uniform(size=2000) > 0.1
+    vs = 2.5
+    out_pts, out_valid, _, n_vox = voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(valid), vs, capacity=1024
+    )
+    # numpy reference
+    ids = np.floor(pts[valid] / vs).astype(np.int64)
+    uniq, inv = np.unique(ids, axis=0, return_inverse=True)
+    ref_means = np.zeros((len(uniq), 3))
+    np.add.at(ref_means, inv, pts[valid])
+    counts = np.bincount(inv)
+    ref_means /= counts[:, None]
+    assert int(n_vox) == len(uniq)
+    got = np.asarray(out_pts)[np.asarray(out_valid)]
+    got_sorted = got[np.lexsort(got.T)]
+    ref_sorted = ref_means[np.lexsort(ref_means.T)]
+    np.testing.assert_allclose(got_sorted, ref_sorted, atol=1e-4)

@@ -1,0 +1,113 @@
+"""Virtual-scanner fixture tests + the config-1/2 end-to-end slices.
+
+Config 1 [B:7]: synthetic Gray-code decode + triangulation.
+Config 2 [B:8]: Gray + 4-step phase shift to sub-pixel stripe coords.
+Ground truth comes from the renderer itself (SURVEY.md section 6).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from slr.config import DecodeConfig, PatternConfig
+from slr.codec import decode_stack
+from slr.geom.triangulate import triangulate_plane
+from slr.synth import bumps_depth, plane_depth, sphere_depth, checker_albedo
+from slr.synth.render import default_rig, render_scan
+
+CAM_W, CAM_H = 320, 256
+
+
+def _small_rig():
+    return default_rig(cam_w=CAM_W, cam_h=CAM_H, proj_w=256, proj_h=192,
+                       baseline=150.0, toe_in_deg=14.0)
+
+
+def _cfg(phase_steps):
+    return PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                         phase_steps=phase_steps)
+
+
+def test_render_shapes_and_mask():
+    cam, proj = _small_rig()
+    cfg = _cfg(4)
+    depth = plane_depth(cam, CAM_H, CAM_W, point=[0, 0, 500.0], normal=[0, 0, -1.0])
+    scan = render_scan(cam, proj, depth, cfg)
+    assert scan.frames.shape == (cfg.num_frames, CAM_H, CAM_W)
+    assert scan.points_true.shape == (CAM_H, CAM_W, 3)
+    assert 0.2 < float(jnp.mean(scan.mask_true.astype(jnp.float32)))
+    # white frame brighter than black frame where illuminated
+    assert float(
+        jnp.min(
+            jnp.where(scan.mask_true, scan.frames[0] - scan.frames[1], 1.0)
+        )
+    ) > 0.3
+
+
+def test_decode_recovers_true_projector_column_phase():
+    """Config 2: rendered stack -> decode -> x_p vs ground truth, sub-pixel."""
+    cam, proj = _small_rig()
+    cfg = _cfg(4)
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=25.0)
+    scan = render_scan(cam, proj, depth, cfg)
+    res = decode_stack(scan.frames, cfg, DecodeConfig())
+    valid = res.mask & scan.mask_true
+    assert float(jnp.mean(valid.astype(jnp.float32))) > 0.5
+    err = jnp.where(valid, jnp.abs(res.x_p - scan.xp_true), 0.0)
+    # sub-0.2 projector-pixel phase accuracy on noiseless render
+    n = jnp.sum(valid)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / n))
+    assert rms < 0.2, rms
+    assert float(jnp.max(err)) < 2.0  # no fringe-order errors
+
+
+def test_decode_gray_only():
+    """Config 1: Gray-code only decode; half-stripe accuracy."""
+    cam, proj = _small_rig()
+    cfg = _cfg(0)
+    depth = plane_depth(cam, CAM_H, CAM_W, point=[0, 0, 500.0], normal=[0, 0, -1.0])
+    scan = render_scan(cam, proj, depth, cfg)
+    res = decode_stack(scan.frames, cfg, DecodeConfig())
+    valid = res.mask & scan.mask_true
+    assert float(jnp.mean(valid.astype(jnp.float32))) > 0.4
+    pitch = cfg.proj_width / (1 << cfg.gray_bits)
+    err = jnp.where(valid, jnp.abs(res.x_p - scan.xp_true), 0.0)
+    assert float(jnp.max(err)) < pitch  # within one stripe
+
+
+def test_end_to_end_triangulation_rms():
+    """Render -> decode -> plane-triangulate -> compare 3D points to truth."""
+    cam, proj = _small_rig()
+    cfg = _cfg(4)
+    depth = sphere_depth(cam, CAM_H, CAM_W, center=[0, 0, 520.0], radius=120.0,
+                         background=700.0)
+    albedo = checker_albedo(CAM_H, CAM_W, cells=6, lo=0.5)
+    scan = render_scan(cam, proj, depth, cfg, albedo=albedo)
+    res = decode_stack(scan.frames, cfg, DecodeConfig())
+    valid = res.mask & scan.mask_true
+
+    v, u = jnp.meshgrid(jnp.arange(CAM_H, dtype=jnp.float32),
+                        jnp.arange(CAM_W, dtype=jnp.float32), indexing="ij")
+    pts, z = triangulate_plane(cam, proj, u, v, res.x_p)
+    err = jnp.linalg.norm(pts - scan.points_true, axis=-1)
+    err = jnp.where(valid, err, 0.0)
+    n = jnp.sum(valid)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / n))
+    # scene units are mm: sub-mm RMS is the reference accuracy bound [B:5]
+    assert rms < 1.0, rms
+
+
+def test_noise_robustness():
+    """With sensor noise the decode should still be sub-pixel on average."""
+    import jax
+
+    cam, proj = _small_rig()
+    cfg = _cfg(4)
+    depth = plane_depth(cam, CAM_H, CAM_W, point=[0, 0, 500.0], normal=[0.1, 0, -1.0])
+    scan = render_scan(cam, proj, depth, cfg, noise_std=0.01,
+                       key=jax.random.PRNGKey(7))
+    res = decode_stack(scan.frames, cfg, DecodeConfig())
+    valid = res.mask & scan.mask_true
+    err = jnp.where(valid, jnp.abs(res.x_p - scan.xp_true), 0.0)
+    n = jnp.sum(valid)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / n))
+    assert rms < 0.5, rms
