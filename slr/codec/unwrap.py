@@ -68,37 +68,48 @@ def spatial_quality_unwrap(Phi, quality, mask, iters: int = 8):
     """
     q = jnp.where(mask, quality, 0.0).astype(jnp.float32)
 
-    def shift(a, dy, dx):
-        # jnp.roll + zero-fill at borders (no wraparound leakage)
-        out = jnp.roll(a, shift=(dy, dx), axis=(0, 1))
-        if dy == 1:
-            out = out.at[0, :].set(0.0)
-        elif dy == -1:
-            out = out.at[-1, :].set(0.0)
-        if dx == 1:
-            out = out.at[:, 0].set(0.0)
-        elif dx == -1:
-            out = out.at[:, -1].set(0.0)
-        return out
-
     def body(_, state):
         Phi_c, q_c = state
-        wsum = jnp.zeros_like(Phi_c)
-        psum = jnp.zeros_like(Phi_c)
-        qmax = jnp.zeros_like(Phi_c)
-        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            w = shift(q_c, dy, dx)
-            p = shift(Phi_c * q_c, dy, dx)
-            wsum = wsum + w
-            psum = psum + p
-            qmax = jnp.maximum(qmax, w)
-        consensus = psum / jnp.where(wsum > 0, wsum, 1.0)
-        k_fix = jnp.round((consensus - Phi_c) / TWO_PI)
-        take = mask & (wsum > 0) & (q_c < qmax) & (k_fix != 0)
-        Phi_new = jnp.where(take, Phi_c + TWO_PI * k_fix, Phi_c)
-        # repaired pixels inherit the consensus quality so fixes propagate
-        q_new = jnp.where(take, qmax, q_c)
-        return Phi_new, q_new
+        return propagation_step(Phi_c, q_c, mask)
 
     Phi_out, _ = jax.lax.fori_loop(0, iters, body, (Phi.astype(jnp.float32), q))
     return Phi_out
+
+
+def _shift_zero(a, dy, dx):
+    """roll + zero-fill at borders (no wraparound leakage). Implemented
+    with iota masks (not .at[].set) so it lowers inside Pallas kernels."""
+    out = jnp.roll(a, shift=(dy, dx), axis=(0, 1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    if dy == 1:
+        out = jnp.where(rows == 0, 0.0, out)
+    elif dy == -1:
+        out = jnp.where(rows == a.shape[0] - 1, 0.0, out)
+    if dx == 1:
+        out = jnp.where(cols == 0, 0.0, out)
+    elif dx == -1:
+        out = jnp.where(cols == a.shape[1] - 1, 0.0, out)
+    return out
+
+
+def propagation_step(Phi_c, q_c, mask):
+    """One quality-guided label-propagation sweep (shared by the jnp path
+    above and the Pallas kernel in slr.kernels.unwrap_scan, so both have
+    identical semantics)."""
+    wsum = jnp.zeros_like(Phi_c)
+    psum = jnp.zeros_like(Phi_c)
+    qmax = jnp.zeros_like(Phi_c)
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        w = _shift_zero(q_c, dy, dx)
+        p = _shift_zero(Phi_c * q_c, dy, dx)
+        wsum = wsum + w
+        psum = psum + p
+        qmax = jnp.maximum(qmax, w)
+    consensus = psum / jnp.where(wsum > 0, wsum, 1.0)
+    k_fix = jnp.round((consensus - Phi_c) / TWO_PI)
+    take = mask & (wsum > 0) & (q_c < qmax) & (k_fix != 0)
+    Phi_new = jnp.where(take, Phi_c + TWO_PI * k_fix, Phi_c)
+    # repaired pixels inherit the consensus quality so fixes propagate
+    q_new = jnp.where(take, qmax, q_c)
+    return Phi_new, q_new

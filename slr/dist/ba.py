@@ -1,0 +1,211 @@
+"""Distributed Schur-complement bundle adjustment over scanner poses.
+
+SURVEY.md section 4.7 / component 16, the [B:5] prescription: "distributed
+bundle adjustment via Schur-complement reduction ... psum/all-gather
+collectives for the camera/projector pose block".
+
+Model: S scan poses T_s = (R_s, t_s) (scan -> world) and L fused
+landmarks X_l (world). Observation (l, k): landmark l was measured at
+position p in the local frame of scan s_k; residual
+
+    r = R_s^T (X_l - t_s) - p                                 (3-vector)
+
+Right-perturbation linearization (xi = [tau, omega], T <- T . Exp(xi)):
+
+    J_pose = [-I3 | hat(x0)],   J_X = R_s^T,   x0 = R_s^T (X_l - t_s)
+
+Landmarks couple poses only through the Schur complement: each residual
+touches one pose, so H_pp is block-diagonal; eliminating the landmark
+blocks (H_ll = (sum_k w_k) I3 + damping — rotations are orthonormal)
+yields the reduced 6S x 6S pose system
+
+    H_red = H_pp - sum_l W_l H_ll^-1 W_l^T,   g_red = g_p - W H_ll^-1 g_l.
+
+Landmarks are sharded over the ``map_block`` mesh axis; every block
+assembles its local (H_red, g_red) contribution, ONE psum crosses hosts,
+the small pose solve is replicated, and landmark updates back-substitute
+block-locally — exactly the "structure blocks strictly local, only the
+pose block crosses hosts" layout (SURVEY.md section 9 hard parts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from slr.geom.se3 import se3_exp, so3_exp
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray        # (S,3,3) refined scan->world rotations
+    t: jnp.ndarray        # (S,3)
+    X: jnp.ndarray        # (L,3) refined landmarks (sharded layout preserved)
+    cost: jnp.ndarray     # final weighted SSE
+    rms: jnp.ndarray      # per-residual-component RMS
+
+
+def _hat(v):
+    zeros = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], zeros, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], zeros], -1),
+        ],
+        -2,
+    )
+
+
+def _assemble_block(R, t, X, obs_s, obs_p, obs_w, S: int, damping: float):
+    """Local (per map block) Schur assembly.
+
+    X (Lb,3); obs_s (Lb,K) int32; obs_p (Lb,K,3); obs_w (Lb,K) weights
+    (0 = missing). Returns (H_red (6S,6S), g_red (6S,), cost, nres).
+    """
+    Rs = R[obs_s]                                   # (Lb,K,3,3)
+    ts = t[obs_s]                                   # (Lb,K,3)
+    x0 = jnp.einsum("lkij,lki->lkj", Rs, X[:, None, :] - ts)  # R^T (X - t)
+    # J_pose (3x6) = [-I | hat(x0)] ; J_X = R^T; weights applied via sqrt
+    # so H gets w and g gets w exactly once
+    U = jnp.concatenate(
+        [
+            jnp.broadcast_to(-jnp.eye(3), x0.shape[:-1] + (3, 3)),
+            _hat(x0),
+        ],
+        axis=-1,
+    )                                               # (Lb,K,3,6)
+    w = obs_w[..., None]
+    sw = jnp.sqrt(jnp.where(w > 0, w, 0.0))
+    r1 = (x0 - obs_p) * sw                          # whitened residual
+    U1 = U * sw[..., None]                          # whitened pose jac
+    V1 = jnp.swapaxes(Rs, -1, -2) * sw[..., None]   # whitened J_X = R^T
+    # V1 is (Lb,K,3,3) with rows scaled: (sw * R^T)
+
+    UtU = jnp.einsum("lkai,lkaj->lkij", U1, U1)
+    Utr = jnp.einsum("lkai,lka->lki", U1, r1)
+    seg = obs_s.reshape(-1)
+    H_pp = jax.ops.segment_sum(
+        UtU.reshape(-1, 6, 6), seg, num_segments=S
+    )                                               # (S,6,6) diag blocks
+    g_p = jax.ops.segment_sum(Utr.reshape(-1, 6), seg, num_segments=S)
+
+    # landmark blocks
+    H_ll = jnp.einsum("lkai,lkaj->lij", V1, V1)     # (Lb,3,3)
+    H_ll = H_ll + damping * jnp.eye(3)
+    g_l = jnp.einsum("lkai,lka->li", V1, r1)        # (Lb,3)
+    W = jnp.einsum("lkai,lkaj->lkij", U1, V1)       # (Lb,K,6,3) per-obs W
+
+    H_ll_inv = jnp.linalg.inv(H_ll)                 # (Lb,3,3) tiny blocks
+    # Schur cross terms: for each landmark, all (k1, k2) pose pairs
+    WHW = jnp.einsum(
+        "lkij,ljm,lqnm->lkqin", W, H_ll_inv, W
+    )                                               # (Lb,K,K,6,6)
+    K = obs_s.shape[1]
+    pair_seg = (obs_s[:, :, None] * S + obs_s[:, None, :]).reshape(-1)
+    H_cross = jax.ops.segment_sum(
+        WHW.reshape(-1, 6, 6), pair_seg, num_segments=S * S
+    ).reshape(S, S, 6, 6)
+    Whg = jnp.einsum("lkij,ljm,lm->lki", W, H_ll_inv, g_l)  # (Lb,K,6)
+    g_cross = jax.ops.segment_sum(Whg.reshape(-1, 6), seg, num_segments=S)
+
+    H_red = -H_cross
+    H_red = H_red.at[jnp.arange(S), jnp.arange(S)].add(H_pp)
+    g_red = g_p - g_cross
+    cost = jnp.sum(r1 * r1)
+    nres = 3.0 * jnp.sum((obs_w > 0).astype(jnp.float32))
+    return (
+        H_red.transpose(0, 2, 1, 3).reshape(6 * S, 6 * S),
+        g_red.reshape(-1),
+        cost,
+        nres,
+        (H_ll_inv, g_l, W),
+    )
+
+
+def _back_substitute(H_ll_inv, g_l, W, obs_s, dxi, S: int):
+    """dX_l = -H_ll^-1 (g_l + sum_k W_k^T dxi_{s_k})."""
+    dxi_b = dxi.reshape(S, 6)[obs_s]                # (Lb,K,6)
+    Wtd = jnp.einsum("lkij,lki->lj", W, dxi_b)      # (Lb,3)
+    return -jnp.einsum("lij,lj->li", H_ll_inv, g_l + Wtd)
+
+
+def _ba_iteration(R, t, X, obs_s, obs_p, obs_w, S, damping, axis_name=None):
+    H_red, g_red, cost, nres, (H_ll_inv, g_l, W) = _assemble_block(
+        R, t, X, obs_s, obs_p, obs_w, S, damping
+    )
+    if axis_name is not None:
+        H_red = jax.lax.psum(H_red, axis_name)
+        g_red = jax.lax.psum(g_red, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+        nres = jax.lax.psum(nres, axis_name)
+    # gauge fix: anchor pose 0; LM-style diagonal damping on the pose block
+    anchor = jnp.concatenate([jnp.full(6, 1e12), jnp.zeros(6 * S - 6)])
+    H_red = H_red + jnp.diag(anchor + damping)
+    dxi = -jnp.linalg.solve(H_red, g_red)
+    dX = _back_substitute(H_ll_inv, g_l, W, obs_s, dxi, S)
+    dR, dt = jax.vmap(se3_exp)(dxi.reshape(S, 6))
+    R_new = jnp.einsum("sij,sjk->sik", R, dR)
+    t_new = jnp.einsum("sij,sj->si", R, dt) + t
+    return R_new, t_new, X + dX, cost, nres
+
+
+def bundle_adjust_reference(R, t, X, obs_s, obs_p, obs_w, iters: int = 10,
+                            damping: float = 1e-6):
+    """Single-device BA (no mesh) — the oracle for the distributed path."""
+    S = R.shape[0]
+
+    def body(carry, _):
+        R, t, X = carry
+        R, t, X, cost, nres = _ba_iteration(
+            R, t, X, obs_s, obs_p, obs_w, S, damping
+        )
+        return (R, t, X), (cost, nres)
+
+    (R, t, X), (costs, nres) = jax.lax.scan(
+        body, (R, t, X), None, length=iters
+    )
+    return BAResult(R=R, t=t, X=X, cost=costs[-1],
+                    rms=jnp.sqrt(costs[-1] / nres[-1]))
+
+
+def distributed_bundle_adjust(
+    R, t,                      # (S,3,3), (S,3) replicated pose block
+    X,                         # (L,3) landmarks, L divisible by n map blocks
+    obs_s, obs_p, obs_w,       # (L,K) int32, (L,K,3), (L,K)
+    mesh: Mesh,
+    iters: int = 10,
+    damping: float = 1e-6,
+) -> BAResult:
+    """Landmarks sharded over map_block; ONE psum per GN iteration crosses
+    blocks (the reduced 6S pose system); solve replicated; landmark
+    updates block-local. Deterministic: psum over a fixed mesh order."""
+    S = R.shape[0]
+
+    def local(R, t, X_b, obs_s_b, obs_p_b, obs_w_b):
+        def body(carry, _):
+            R, t, X_b = carry
+            R, t, X_b, cost, nres = _ba_iteration(
+                R, t, X_b, obs_s_b, obs_p_b, obs_w_b, S, damping,
+                axis_name="map_block",
+            )
+            return (R, t, X_b), (cost, nres)
+
+        (R, t, X_b), (costs, nres) = jax.lax.scan(
+            body, (R, t, X_b), None, length=iters
+        )
+        return R, t, X_b, costs[-1], nres[-1]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P("map_block"), P("map_block"), P("map_block"),
+                  P("map_block")),
+        out_specs=(P(), P(), P("map_block"), P(), P()),
+        check_vma=False,
+    )
+    R, t, X, cost, nres = fn(R, t, X, obs_s, obs_p, obs_w)
+    return BAResult(R=R, t=t, X=X, cost=cost, rms=jnp.sqrt(cost / nres))

@@ -1,0 +1,114 @@
+"""Pixel-tile-sharded reconstruction pipeline (shard_map over the mesh).
+
+SURVEY.md E4 distributed: frames enter sharded over rows (pixel_tile
+axis); decode/unwrap/triangulate are embarrassingly parallel per row
+except the spatial unwrap, whose tile coupling is handled by halo
+exchange + masked propagation (the per-iteration exchange keeps the
+result close to the unsharded fixed-iteration reference — exact when
+repairs do not chain across a tile border within one call).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from slr.codec.patterns import decode_stack
+from slr.codec.unwrap import propagation_step
+from slr.config import DecodeConfig, PatternConfig
+from slr.dist.halo import halo_exchange_rows
+from slr.geom.camera import Camera
+from slr.geom.triangulate import triangulate_plane
+
+
+def sharded_unwrap(Phi, quality, mask, mesh: Mesh, iters: int = 8,
+                   exchange_every: int = 1):
+    """Quality-guided unwrap with the image row-sharded over pixel_tile.
+
+    Each iteration: halo-exchange one row each way, one propagation sweep
+    on the haloed tile, strip halos. Borders therefore see their true
+    neighbours every ``exchange_every`` sweeps.
+    """
+
+    def local(Phi_l, q_l, m_l):
+        q_l = jnp.where(m_l, q_l, 0.0)
+
+        def body(_, state):
+            Ph, qq = state
+            Ph_h = halo_exchange_rows(Ph, "pixel_tile", 1)
+            q_h = halo_exchange_rows(qq, "pixel_tile", 1)
+            m_h = halo_exchange_rows(m_l.astype(jnp.float32), "pixel_tile", 1) > 0.5
+            Ph_n, q_n = propagation_step(Ph_h, q_h, m_h)
+            return Ph_n[1:-1], q_n[1:-1]
+
+        out, _ = jax.lax.fori_loop(0, iters, body, (Phi_l, q_l))
+        return out
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("pixel_tile"), P("pixel_tile"), P("pixel_tile")),
+        out_specs=P("pixel_tile"),
+        check_vma=False,
+    )
+    return fn(Phi, quality, mask)
+
+
+def sharded_reconstruct(
+    frames,                  # (F, H, W), H divisible by n_pixel_tiles
+    cam: Camera,
+    proj: Camera,
+    cfg: PatternConfig,
+    dec: DecodeConfig,
+    mesh: Mesh,
+    spatial_iters: int = 0,
+):
+    """Full decode -> unwrap -> triangulate with rows sharded on
+    pixel_tile. Returns (points (H,W,3), mask, x_p) with the same
+    sharding. Row indices are offset per shard so the camera model sees
+    global pixel coordinates.
+    """
+    H = frames.shape[1]
+    n_tiles = mesh.shape["pixel_tile"]
+    rows_per = H // n_tiles
+
+    def local(frames_l):
+        res = decode_stack(frames_l, cfg, dec)
+        x_p, mask, quality = res.x_p, res.mask, res.quality
+        if spatial_iters:
+            Phi = x_p * (2.0 * jnp.pi / cfg.fringe_pitch)
+            Phi = _unwrap_local(Phi, quality, mask, spatial_iters)
+            x_p = Phi * (cfg.fringe_pitch / (2.0 * jnp.pi))
+        tile = jax.lax.axis_index("pixel_tile")
+        row0 = (tile * rows_per).astype(jnp.float32)
+        h_l, w = x_p.shape
+        v = jax.lax.broadcasted_iota(jnp.float32, (h_l, w), 0) + row0
+        u = jax.lax.broadcasted_iota(jnp.float32, (h_l, w), 1)
+        pts, _ = triangulate_plane(cam, proj, u, v, x_p)
+        return pts, mask, x_p
+
+    def _unwrap_local(Phi_l, q_l, m_l, iters):
+        q_l = jnp.where(m_l, q_l, 0.0)
+
+        def body(_, state):
+            Ph, qq = state
+            Ph_h = halo_exchange_rows(Ph, "pixel_tile", 1)
+            q_h = halo_exchange_rows(qq, "pixel_tile", 1)
+            m_h = halo_exchange_rows(m_l.astype(jnp.float32), "pixel_tile", 1) > 0.5
+            Ph_n, q_n = propagation_step(Ph_h, q_h, m_h)
+            return Ph_n[1:-1], q_n[1:-1]
+
+        out, _ = jax.lax.fori_loop(0, iters, body, (Phi_l, q_l))
+        return out
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "pixel_tile", None),),
+        out_specs=(P("pixel_tile"), P("pixel_tile"), P("pixel_tile")),
+        check_vma=False,
+    )
+    return fn(frames)

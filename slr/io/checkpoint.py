@@ -1,0 +1,36 @@
+"""Stage checkpoints (SURVEY.md section 7 checkpoint/resume).
+
+Mirrors the reference's implicit contract — every stage persisted as files
+so any stage re-runs from disk: decoded maps and clouds as .npz, BA
+iteration state (poses + landmark block + residual stats) checkpointed so
+a multi-host BA run is restartable after a host failure (map blocks are
+independent; recovery = reload fragments + resume iteration).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def save_stage(path, **arrays):
+    """Save named arrays (jax or numpy) as one .npz stage file."""
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrays.items()})
+
+
+def load_stage(path) -> dict:
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def save_ba_state(path, R, t, X, iteration: int, cost: float):
+    save_stage(
+        path, R=R, t=t, X=X,
+        iteration=np.asarray(iteration), cost=np.asarray(cost),
+    )
+
+
+def load_ba_state(path):
+    d = load_stage(path)
+    return d["R"], d["t"], d["X"], int(d["iteration"]), float(d["cost"])

@@ -1,0 +1,69 @@
+"""Quality-guided spatial unwrap as a Pallas VMEM-resident scan.
+
+SURVEY.md component 8: the reference's sequential priority-queue flood
+fill, reformulated as fixed-iteration label propagation ("vectorized
+quality-guided unwrapping as a Pallas scan" [B:5]). The whole phase map
+lives in VMEM scratch for all iterations — one HBM read and one write
+total, vs. 2 round trips *per iteration* for the op-by-op jnp version.
+
+A megapixel f32 map is ~5 MB; Phi + q + mask fit comfortably in 16 MB
+VMEM. Larger maps fall back to the jnp path (slr.codec.unwrap) — or run
+pixel-tile-sharded under shard_map with halo exchange (slr.dist).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slr.codec.unwrap import propagation_step, spatial_quality_unwrap
+from slr.kernels.common import round_up, use_interpret
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _kernel(phi_ref, q_ref, mask_ref, out_ref, *, iters: int):
+    mask = mask_ref[:] > 0.5
+
+    def body(_, state):
+        return propagation_step(state[0], state[1], mask)
+
+    Phi, _ = jax.lax.fori_loop(
+        0, iters, body, (phi_ref[:], jnp.where(mask, q_ref[:], 0.0))
+    )
+    out_ref[:] = Phi
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def quality_unwrap_pallas(Phi, quality, mask, iters: int = 8):
+    """Drop-in Pallas version of slr.codec.spatial_quality_unwrap."""
+    H, W = Phi.shape
+    Hp, Wp = round_up(H, 8), round_up(W, 128)
+    if 3 * Hp * Wp * 4 > _VMEM_BUDGET:
+        return spatial_quality_unwrap(Phi, quality, mask, iters=iters)
+    fmask = mask.astype(jnp.float32)
+    if (Hp, Wp) != (H, W):
+        Phi = jnp.pad(Phi, ((0, Hp - H), (0, Wp - W)))
+        quality = jnp.pad(quality, ((0, Hp - H), (0, Wp - W)))
+        fmask = jnp.pad(fmask, ((0, Hp - H), (0, Wp - W)))
+    out = pl.pallas_call(
+        partial(_kernel, iters=iters),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * iters * Hp * Wp,
+            bytes_accessed=4 * Hp * Wp * 4,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(Phi.astype(jnp.float32), quality.astype(jnp.float32), fmask)
+    return out[:H, :W]

@@ -1,0 +1,101 @@
+"""Pallas kernel tests (interpret mode on CPU, SURVEY.md section 6).
+
+The fused decode+triangulate kernel and the VMEM unwrap scan must match
+the pure-JAX reference paths to f32 tolerance on rendered scans.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slr.config import DecodeConfig, PatternConfig
+from slr.codec import decode_stack, spatial_quality_unwrap
+from slr.geom.triangulate import triangulate_plane
+from slr.kernels import fused_decode_triangulate, quality_unwrap_pallas
+from slr.synth import bumps_depth
+from slr.synth.render import default_rig, render_scan
+
+CAM_W, CAM_H = 320, 256
+
+
+def _setup(noise=0.0):
+    cam, proj = default_rig(cam_w=CAM_W, cam_h=CAM_H, proj_w=256, proj_h=192,
+                            baseline=150.0, toe_in_deg=14.0)
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                        phase_steps=4)
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=25.0)
+    scan = render_scan(cam, proj, depth, cfg, noise_std=noise,
+                       key=jax.random.PRNGKey(1))
+    return cam, proj, cfg, scan
+
+
+def test_fused_kernel_matches_reference_path():
+    cam, proj, cfg, scan = _setup(noise=0.005)
+    dec = DecodeConfig()
+    out = fused_decode_triangulate(scan.frames, cam, proj, cfg, dec)
+
+    ref = decode_stack(scan.frames, cfg, dec)
+    v, u = jnp.meshgrid(jnp.arange(CAM_H, dtype=jnp.float32),
+                        jnp.arange(CAM_W, dtype=jnp.float32), indexing="ij")
+    pts_ref, z_ref = triangulate_plane(cam, proj, u, v, ref.x_p)
+
+    # masks agree except depth-bound gating (kernel adds z bounds)
+    both = (out.mask > 0.5) & ref.mask
+    frac_either = jnp.mean(((out.mask > 0.5) ^ ref.mask).astype(jnp.float32))
+    assert float(frac_either) < 0.01
+
+    xerr = jnp.where(both, jnp.abs(out.x_p - ref.x_p), 0.0)
+    assert float(jnp.max(xerr)) < 1e-3, float(jnp.max(xerr))
+
+    qerr = jnp.where(both, jnp.abs(out.quality - ref.quality), 0.0)
+    assert float(jnp.max(qerr)) < 1e-4
+
+    pts_k = jnp.moveaxis(out.points, 0, -1)
+    perr = jnp.where(both[..., None], jnp.abs(pts_k - pts_ref), 0.0)
+    assert float(jnp.max(perr)) < 5e-2, float(jnp.max(perr))
+
+
+def test_fused_kernel_accuracy_vs_ground_truth():
+    cam, proj, cfg, scan = _setup(noise=0.0)
+    out = fused_decode_triangulate(scan.frames, cam, proj, cfg, DecodeConfig())
+    valid = (out.mask > 0.5) & scan.mask_true
+    pts = jnp.moveaxis(out.points, 0, -1)
+    err = jnp.where(valid, jnp.linalg.norm(pts - scan.points_true, axis=-1), 0.0)
+    n = jnp.sum(valid)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / n))
+    assert rms < 0.5, rms
+
+
+def test_fused_kernel_nonaligned_sizes():
+    """H, W not multiples of the tile: padding path must stay correct."""
+    cam, proj = default_rig(cam_w=300, cam_h=215, proj_w=256, proj_h=192,
+                            baseline=150.0, toe_in_deg=14.0)
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                        phase_steps=4)
+    depth = bumps_depth(215, 300, base=480.0, amp=20.0)
+    scan = render_scan(cam, proj, depth, cfg)
+    out = fused_decode_triangulate(scan.frames, cam, proj, cfg, DecodeConfig())
+    assert out.points.shape == (3, 215, 300)
+    valid = (out.mask > 0.5) & scan.mask_true
+    assert float(jnp.mean(valid.astype(jnp.float32))) > 0.3
+    pts = jnp.moveaxis(out.points, 0, -1)
+    err = jnp.where(valid, jnp.linalg.norm(pts - scan.points_true, axis=-1), 0.0)
+    n = jnp.sum(valid)
+    assert float(jnp.sqrt(jnp.sum(err * err) / n)) < 0.5
+
+
+def test_quality_unwrap_pallas_matches_jnp():
+    rng = np.random.default_rng(0)
+    H, W = 64, 96
+    Phi = jnp.asarray(
+        np.linspace(0, 30, W)[None, :] + 0.1 * rng.normal(size=(H, W)),
+        jnp.float32,
+    )
+    bad = np.zeros((H, W), bool)
+    bad[rng.integers(1, H - 1, 30), rng.integers(1, W - 1, 30)] = True
+    q = jnp.asarray(np.where(bad, 0.05, 1.0), jnp.float32)
+    Phi_n = jnp.where(jnp.asarray(bad), Phi + 2 * jnp.pi * 3, Phi)
+    mask = jnp.ones((H, W), bool)
+    a = spatial_quality_unwrap(Phi_n, q, mask, iters=6)
+    b = quality_unwrap_pallas(Phi_n, q, mask, iters=6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
