@@ -1,0 +1,77 @@
+"""slr benchmark harness — prints ONE JSON line for the driver.
+
+Flagship metric (BASELINE.json:2/5): full pattern-sequence -> fused point
+cloud latency on one chip, config-3 shapes (20-frame stack, 1280x1024
+camera, 1024x768 projector, 7-bit Gray + 4-step phase). The reference
+publishes no numbers; the binding baseline is the driver target of
+50 ms/scan [B:5], so vs_baseline = 50 / measured_ms (higher is better,
+1.0 == target parity).
+
+Run directly: python bench.py     (uses the default backend: the v5e chip
+under axon, CPU elsewhere; accuracy is asserted against synthetic ground
+truth before timing so a fast-but-wrong kernel can't win).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from slr.config import DecodeConfig, PatternConfig, ReconstructConfig
+from slr.pipeline.reconstruct import reconstruct_dense
+from slr.synth import bumps_depth
+from slr.synth.render import default_rig, render_scan
+
+CAM_W, CAM_H = 1280, 1024
+TARGET_MS = 50.0
+
+
+def main():
+    cam, proj = default_rig(cam_w=CAM_W, cam_h=CAM_H)
+    cfg = PatternConfig(proj_width=1024, proj_height=768, gray_bits=7,
+                        phase_steps=4)
+    dec = DecodeConfig()
+    rec = ReconstructConfig()
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=30.0)
+    scan = render_scan(cam, proj, depth, cfg, noise_std=0.005,
+                       key=jax.random.PRNGKey(0))
+    frames = scan.frames
+
+    cloud = reconstruct_dense(frames, cam, proj, cfg, dec, rec)
+    jax.block_until_ready(cloud.points)
+
+    # accuracy gate: sub-mm RMS against ground truth [B:5]
+    valid = cloud.mask & scan.mask_true
+    n = jnp.sum(valid)
+    err = jnp.where(
+        valid, jnp.linalg.norm(cloud.points - scan.points_true, axis=-1), 0.0
+    )
+    rms = float(jnp.sqrt(jnp.sum(err * err) / n))
+    if rms > 1.0:
+        print(json.dumps({"metric": "scan_decode_triangulate_ms",
+                          "value": -1.0, "unit": "ms",
+                          "vs_baseline": 0.0,
+                          "error": f"accuracy gate failed: {rms} mm"}))
+        sys.exit(1)
+
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        cloud = reconstruct_dense(frames, cam, proj, cfg, dec, rec)
+        jax.block_until_ready(cloud.points)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    ms = ts[len(ts) // 2]
+
+    print(json.dumps({
+        "metric": "scan_decode_triangulate_ms",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

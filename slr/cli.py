@@ -1,0 +1,211 @@
+"""slr command-line interface (SURVEY.md T6) — the build's replacement for
+the reference's Qt GUI actions: calibrate, scan (synthetic capture),
+reconstruct, register, fuse, bench, selftest.
+
+Usage:
+    python -m slr.cli demo --out /tmp/session       # full synthetic run
+    python -m slr.cli scan --session S --scene bumps --pose 0
+    python -m slr.cli calibrate --session S
+    python -m slr.cli reconstruct --session S --index 0
+    python -m slr.cli register --session S
+    python -m slr.cli fuse --session S
+    python -m slr.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _lazy_imports():
+    import jax
+    import jax.numpy as jnp
+    from slr.config import PatternConfig, ScanConfig
+    from slr.pipeline import Session
+    from slr.synth import bumps_depth, sphere_depth, checker_albedo
+    from slr.synth.render import default_rig, render_scan
+    from slr.geom.se3 import so3_exp
+    return jax, jnp
+
+
+def cmd_scan(args):
+    """Synthetic capture: render a pattern stack of a scene from a pose
+    into the session (the build's stand-in for projector+camera IO)."""
+    import jax
+    import jax.numpy as jnp
+    from slr.pipeline import Session
+    from slr.synth import sphere_depth, spheres_scene
+    from slr.synth.render import default_rig, move_rig, render_scan
+    from slr.geom.se3 import so3_exp
+
+    sess = Session(args.session)
+    p = sess.config.pattern
+    cam, proj = default_rig(
+        cam_w=sess.config.cam_width, cam_h=sess.config.cam_height,
+        proj_w=p.proj_width, proj_h=p.proj_height,
+    )
+    if sess.cam is None:
+        sess.set_calibration(cam, proj, {"source": "default_rig"})
+    H, W = sess.config.cam_height, sess.config.cam_width
+    # rig moved per scan index (true rigid multi-scan ground truth)
+    rv = jnp.asarray([0.0, 0.03 * args.pose, 0.01 * args.pose], jnp.float32)
+    tv = jnp.asarray([8.0 * args.pose, -4.0 * args.pose, 0.0], jnp.float32)
+    cam_s, proj_s = move_rig(cam, proj, so3_exp(rv), tv)
+    if args.scene == "sphere":
+        depth = sphere_depth(cam_s, H, W, center=[0, 0, 520.0], radius=120.0,
+                             background=700.0)
+    else:  # asymmetric plane + spheres scene (registration-friendly)
+        depth = spheres_scene(cam_s, H, W)
+    scan = render_scan(cam_s, proj_s, depth, p, noise_std=args.noise,
+                       key=jax.random.PRNGKey(args.pose))
+    idx = sess.add_scan(scan.frames)
+    print(f"scan {idx} captured (rig pose {args.pose}) -> {args.session}/scans/")
+
+
+def cmd_calibrate(args):
+    import jax.numpy as jnp
+    from slr.calib import (
+        calibrate_camera, calibrate_projector, stereo_calibrate,
+        synth_board_views,
+    )
+    from slr.geom.camera import make_camera, project
+    from slr.geom.se3 import so3_exp
+    from slr.pipeline import Session
+
+    sess = Session(args.session)
+    c = sess.config.calib
+    # synthetic calibration session against the default rig ground truth
+    from slr.synth.render import default_rig
+
+    cam_true, proj_true = default_rig(
+        cam_w=sess.config.cam_width, cam_h=sess.config.cam_height,
+        proj_w=sess.config.pattern.proj_width,
+        proj_h=sess.config.pattern.proj_height,
+    )
+    obj, img_c, rvs, tvs = synth_board_views(
+        cam_true, c.board_cols, c.board_rows, c.square_size,
+        n_views=8, seed=0, noise_px=args.noise_px,
+    )
+    img_p = []
+    for v in range(img_c.shape[0]):
+        R = so3_exp(rvs[v])
+        pts = (R @ obj.T).T + tvs[v]
+        uv, _ = project(proj_true, pts)
+        img_p.append(uv)
+    img_p = jnp.stack(img_p)
+    cam_res = calibrate_camera(obj, img_c, lm_iters=c.lm_iters)
+    proj_res = calibrate_projector(obj, img_p, lm_iters=c.lm_iters)
+    st = stereo_calibrate(obj, img_c, img_p, cam_res, proj_res)
+    sess.set_calibration(st.cam, st.proj, {"rms": float(st.rms)})
+    print(f"calibrated: joint rms {float(st.rms):.4f} px "
+          f"-> {args.session}/calibration.json")
+
+
+def cmd_reconstruct(args):
+    from slr.pipeline import Session
+
+    sess = Session(args.session)
+    t0 = time.time()
+    cloud = sess.reconstruct(args.index, fused=not args.no_fused,
+                             spatial_iters=args.spatial_iters)
+    import jax
+    jax.block_until_ready(cloud.points)
+    n = int(np.asarray(cloud.mask).sum())
+    print(f"scan {args.index}: {n} valid points in "
+          f"{(time.time()-t0)*1e3:.1f} ms -> {args.session}/clouds/")
+    if args.ply:
+        from slr.io import write_ply
+        out = f"{args.session}/clouds/scan_{args.index:03d}.ply"
+        write_ply(out, cloud.points, mask=cloud.mask,
+                  colors=np.repeat(np.asarray(cloud.colors)[..., None], 3, -1))
+        print(f"wrote {out}")
+
+
+def cmd_register(args):
+    from slr.pipeline import Session
+
+    sess = Session(args.session)
+    reg = sess.register(use_features=not args.no_features)
+    print(f"registered {sess.cloud_count()} scans; "
+          f"icp rms {np.asarray(reg.icp_rms).round(4).tolist()}, "
+          f"pose-graph rms {float(reg.pg_rms):.5f}")
+
+
+def cmd_fuse(args):
+    from slr.pipeline import Session
+
+    sess = Session(args.session)
+    out = sess.fuse()
+    print(f"fused model -> {out}")
+
+
+def cmd_demo(args):
+    """Full synthetic end-to-end: 3 scans -> reconstruct -> register -> fuse."""
+    ns = argparse.Namespace
+    cmd_calibrate(ns(session=args.out, noise_px=0.0))
+    for pose in range(args.scans):
+        cmd_scan(ns(session=args.out, scene="bumps", pose=pose, noise=0.005))
+        cmd_reconstruct(ns(session=args.out, index=pose, no_fused=False,
+                           spatial_iters=0, ply=False))
+    cmd_register(ns(session=args.out, no_features=args.no_features))
+    cmd_fuse(ns(session=args.out))
+
+
+def cmd_bench(args):
+    import subprocess
+    raise SystemExit(subprocess.call([sys.executable, "bench.py"]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="slr", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("scan", help="synthetic capture into a session")
+    p.add_argument("--session", required=True)
+    p.add_argument("--scene", default="bumps", choices=["bumps", "sphere"])
+    p.add_argument("--pose", type=int, default=0)
+    p.add_argument("--noise", type=float, default=0.005)
+    p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("calibrate", help="device-resident Zhang calibration")
+    p.add_argument("--session", required=True)
+    p.add_argument("--noise-px", type=float, default=0.0, dest="noise_px")
+    p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("reconstruct", help="decode+triangulate one scan")
+    p.add_argument("--session", required=True)
+    p.add_argument("--index", type=int, default=0)
+    p.add_argument("--no-fused", action="store_true")
+    p.add_argument("--spatial-iters", type=int, default=0)
+    p.add_argument("--ply", action="store_true")
+    p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("register", help="align all reconstructed scans")
+    p.add_argument("--session", required=True)
+    p.add_argument("--no-features", action="store_true")
+    p.set_defaults(fn=cmd_register)
+
+    p = sub.add_parser("fuse", help="merge registered scans into one model")
+    p.add_argument("--session", required=True)
+    p.set_defaults(fn=cmd_fuse)
+
+    p = sub.add_parser("demo", help="full synthetic end-to-end run")
+    p.add_argument("--out", default="/tmp/slr_demo")
+    p.add_argument("--scans", type=int, default=3)
+    p.add_argument("--no-features", action="store_true")
+    p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,22 +94,40 @@ def _shift_zero(a, dy, dx):
 
 
 def propagation_step(Phi_c, q_c, mask):
-    """One quality-guided label-propagation sweep (shared by the jnp path
-    above and the Pallas kernel in slr.kernels.unwrap_scan, so both have
-    identical semantics)."""
-    wsum = jnp.zeros_like(Phi_c)
-    psum = jnp.zeros_like(Phi_c)
-    qmax = jnp.zeros_like(Phi_c)
+    """One quality-guided repair sweep (shared by the jnp path above and
+    the Pallas kernel in slr.kernels.unwrap_scan — identical semantics).
+
+    Strict-consensus voting: each valid 4-neighbour votes the integer
+    fringe-order correction k = round((Phi_nb - Phi_c) / 2pi); the pixel
+    snaps by k periods only when at least 3 neighbours cast the SAME
+    non-zero vote. True order errors are isolated pixels surrounded by a
+    consistent surface (4 agreeing votes); depth discontinuities and
+    steep limbs split the neighbourhood so no 3-vote majority forms.
+    (A naive quality-weighted mean consensus "repaired" correct pixels at
+    sphere/plane occlusion edges whose disparity jump lands near a whole
+    period — 5.6 mm RMS vs 0.27 mm without repair; strict voting keeps
+    the repair strictly error-reducing.)
+    """
+    fmask = mask.astype(jnp.float32)
+    votes, valids = [], []
     for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        w = _shift_zero(q_c, dy, dx)
-        p = _shift_zero(Phi_c * q_c, dy, dx)
-        wsum = wsum + w
-        psum = psum + p
-        qmax = jnp.maximum(qmax, w)
-    consensus = psum / jnp.where(wsum > 0, wsum, 1.0)
-    k_fix = jnp.round((consensus - Phi_c) / TWO_PI)
-    take = mask & (wsum > 0) & (q_c < qmax) & (k_fix != 0)
-    Phi_new = jnp.where(take, Phi_c + TWO_PI * k_fix, Phi_c)
-    # repaired pixels inherit the consensus quality so fixes propagate
-    q_new = jnp.where(take, qmax, q_c)
-    return Phi_new, q_new
+        nb_val = _shift_zero(fmask, dy, dx)
+        nb_phi = _shift_zero(Phi_c * fmask, dy, dx)
+        k = jnp.round((nb_phi - Phi_c) / TWO_PI)
+        votes.append(k)
+        valids.append(nb_val > 0.5)
+    # count agreement for each neighbour's vote (4x4 unrolled comparisons)
+    best_count = jnp.zeros_like(Phi_c)
+    best_k = jnp.zeros_like(Phi_c)
+    for i in range(4):
+        count_i = jnp.zeros_like(Phi_c)
+        for j in range(4):
+            agree = valids[j] & (votes[j] == votes[i])
+            count_i = count_i + agree.astype(jnp.float32)
+        cand = valids[i] & (votes[i] != 0)
+        better = cand & (count_i > best_count)
+        best_count = jnp.where(better, count_i, best_count)
+        best_k = jnp.where(better, votes[i], best_k)
+    take = mask & (best_count >= 3.0)
+    Phi_new = jnp.where(take, Phi_c + TWO_PI * best_k, Phi_c)
+    return Phi_new, q_c

@@ -26,7 +26,10 @@ class PatternConfig:
 
     proj_width: int = 1024
     proj_height: int = 768
-    gray_bits: int = 10          # column stripes: ceil(log2(proj_width / pitch))
+    # column stripes: 2**gray_bits across the width; with phase shift the
+    # fringe pitch is proj_width / 2**gray_bits — keep it >= ~8 px so the
+    # sinusoid stays resolvable (7 bits -> 8 px pitch at 1024)
+    gray_bits: int = 7
     row_gray_bits: int = 0       # 0 = column-only coding (plane triangulation)
     phase_steps: int = 4         # N-step phase shift; 0 disables phase shift
     use_inverse: bool = True     # project inverted Gray patterns as well

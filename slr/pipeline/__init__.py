@@ -1,0 +1,22 @@
+"""slr.pipeline — jit-compiled end-to-end stage graphs (SURVEY.md T5).
+
+One function per configs rung [B:6-12]:
+
+1/2. reconstruct_scan       — decode (+ phase) -> triangulate (single scan)
+3.   reconstruct_dense      — fused kernel + spatial repair + accumulation
+4.   register_scans         — features + RANSAC + ICP + pose graph
+5.   fuse_scans             — transform + merge + voxel fusion
+     (distributed variants live in slr.dist)
+
+plus Session, the project/scan-session state object replacing the
+reference's GUI-held state (SURVEY.md E1).
+"""
+
+from slr.pipeline.reconstruct import (
+    reconstruct_scan,
+    reconstruct_dense,
+    accumulate_by_projector,
+    ScanCloud,
+)
+from slr.pipeline.registerfuse import register_scans, fuse_scans
+from slr.pipeline.session import Session

@@ -1,0 +1,139 @@
+"""Multi-scan registration + fusion pipelines (configs 4-5, SURVEY.md E5).
+
+register_scans: sequential pairwise alignment (FPFH + RANSAC coarse, then
+point-to-plane ICP) into a pose chain, then pose-graph refinement over all
+relative measurements. fuse_scans: transform every scan into the anchor
+frame and voxel-merge (SURVEY.md components 14-17).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from slr.config import RegistrationConfig
+from slr.pipeline.reconstruct import ScanCloud
+from slr.registration import (
+    fpfh_features, grid_normals, icp_point_to_plane, pose_graph_optimize,
+    ransac_align, voxel_downsample,
+)
+
+
+class RegisteredScans(NamedTuple):
+    R: jnp.ndarray          # (S,3,3) scan->anchor(world) rotations
+    t: jnp.ndarray          # (S,3)
+    icp_rms: jnp.ndarray    # (S-1,) pairwise ICP residuals
+    pg_rms: jnp.ndarray     # pose-graph residual RMS
+
+
+def _subsample(cloud: ScanCloud, n: int, seed: int = 0,
+               min_incidence: float = 0.35):
+    """Fixed-size random draw of valid points (mask-weighted, with
+    replacement — duplicates are harmless for ICP/features).
+
+    Grazing-incidence points (|normal . viewdir| below min_incidence) are
+    excluded: their depth error is amplified by 1/cos and they bias ICP.
+    """
+    H, W = cloud.mask.shape
+    key = jax.random.PRNGKey(seed)
+    normals = grid_normals(cloud.points, cloud.mask)
+    vdir = cloud.points / (
+        jnp.linalg.norm(cloud.points, axis=-1, keepdims=True) + 1e-9
+    )
+    cos_inc = jnp.abs(jnp.sum(normals * vdir, axis=-1))
+    good = cloud.mask & (cos_inc > min_incidence)
+    p = good.reshape(-1).astype(jnp.float32)
+    idx = jax.random.choice(key, H * W, shape=(n,), p=p / jnp.sum(p))
+    pts = cloud.points.reshape(-1, 3)[idx]
+    nrm = normals.reshape(-1, 3)[idx]
+    return pts, nrm
+
+
+def register_scans(
+    clouds: List[ScanCloud],
+    cfg: RegistrationConfig = RegistrationConfig(),
+    use_features: bool = True,
+) -> RegisteredScans:
+    """Align scan s to scan s-1 pairwise, accumulate the chain, then
+    refine all poses jointly on the pose graph. Scan 0 is the anchor."""
+    S = len(clouds)
+    samples = [
+        _subsample(c, cfg.icp_sample_points, seed=i)
+        for i, c in enumerate(clouds)
+    ]
+    Zr, Zt, rms_list = [], [], []
+    for s in range(1, S):
+        src_pts, src_nrm = samples[s]
+        tgt_pts, tgt_nrm = samples[s - 1]
+        res = icp_point_to_plane(
+            src_pts, tgt_pts, tgt_nrm,
+            iters=cfg.icp_iters, max_corr_dist=cfg.icp_max_corr_dist,
+        )
+        if use_features:
+            # feature init helps when the motion is large, but FPFH is
+            # ambiguous on plane-dominated scenes (a plane maps onto
+            # itself under flips) — race it against the identity init and
+            # keep whichever ICP actually locked on
+            f_src = fpfh_features(src_pts, src_nrm)
+            f_tgt = fpfh_features(tgt_pts, tgt_nrm)
+            R0, t0, _ = ransac_align(
+                src_pts, f_src, tgt_pts, f_tgt,
+                n_iters=cfg.ransac_iters, inlier_dist=cfg.ransac_inlier_dist,
+            )
+            res_f = icp_point_to_plane(
+                src_pts, tgt_pts, tgt_nrm, R0=R0, t0=t0,
+                iters=cfg.icp_iters, max_corr_dist=cfg.icp_max_corr_dist,
+            )
+            better = (float(res_f.inlier_frac) > float(res.inlier_frac)) or (
+                abs(float(res_f.inlier_frac) - float(res.inlier_frac)) < 0.05
+                and float(res_f.rms) < float(res.rms)
+            )
+            if better:
+                res = res_f
+        Zr.append(res.R)    # measurement: T_{s-1}^{-1} T_s (src -> tgt)
+        Zt.append(res.t)
+        rms_list.append(res.rms)
+
+    # chain odometry init
+    R_init = [jnp.eye(3)]
+    t_init = [jnp.zeros(3)]
+    for s in range(1, S):
+        R_init.append(R_init[-1] @ Zr[s - 1])
+        t_init.append(R_init[-2] @ Zt[s - 1] + t_init[-1])
+    ei = jnp.asarray([s - 1 for s in range(1, S)], jnp.int32)
+    ej = jnp.asarray([s for s in range(1, S)], jnp.int32)
+    pg = pose_graph_optimize(
+        jnp.stack(R_init), jnp.stack(t_init), ei, ej,
+        jnp.stack(Zr), jnp.stack(Zt),
+        iters=cfg.pg_iters, damping=cfg.pg_damping,
+    )
+    return RegisteredScans(
+        R=pg.R, t=pg.t, icp_rms=jnp.stack(rms_list), pg_rms=pg.rms
+    )
+
+
+def fuse_scans(
+    clouds: List[ScanCloud],
+    reg: RegisteredScans,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    capacity: int = 1 << 20,
+):
+    """Transform all scans into the anchor frame and voxel-merge.
+
+    Returns (points (capacity,3), valid (capacity,), colors (capacity,1)).
+    """
+    all_pts, all_val, all_col = [], [], []
+    for s, c in enumerate(clouds):
+        pts = c.points.reshape(-1, 3) @ reg.R[s].T + reg.t[s]
+        all_pts.append(pts)
+        all_val.append(c.mask.reshape(-1))
+        all_col.append(c.colors.reshape(-1, 1))
+    pts = jnp.concatenate(all_pts)
+    val = jnp.concatenate(all_val)
+    col = jnp.concatenate(all_col)
+    out_pts, out_val, out_col, n_vox = voxel_downsample(
+        pts, val, cfg.voxel_size, capacity=capacity, attrs=col
+    )
+    return out_pts, out_val, out_col, n_vox

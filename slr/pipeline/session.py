@@ -1,0 +1,137 @@
+"""Scan-session state (SURVEY.md E1): the build's replacement for the
+reference's GUI-held project state — config + calibration + scans +
+derived products, with the same everything-is-a-file resume contract
+(stage .npz / calibration JSON / PLY under one session directory)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from slr.config import ScanConfig, load_config, save_config
+from slr.geom.camera import Camera
+from slr.io import (
+    load_calibration, read_ply, save_calibration, save_stage, load_stage,
+    write_ply,
+)
+from slr.pipeline.reconstruct import ScanCloud, reconstruct_dense, reconstruct_scan
+from slr.pipeline.registerfuse import RegisteredScans, fuse_scans, register_scans
+
+
+class Session:
+    """Directory-backed scan session.
+
+    Layout:
+        session/config.json         ScanConfig
+        session/calibration.json    camera + projector
+        session/scans/scan_%03d.npz captured frame stacks
+        session/clouds/scan_%03d.npz decoded organized clouds
+        session/registration.npz    poses
+        session/fused.ply           final model
+    """
+
+    def __init__(self, root, config: Optional[ScanConfig] = None):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        (self.root / "scans").mkdir(exist_ok=True)
+        (self.root / "clouds").mkdir(exist_ok=True)
+        cfg_path = self.root / "config.json"
+        if config is not None:
+            self.config = config
+            save_config(config, cfg_path)
+        elif cfg_path.exists():
+            self.config = load_config(cfg_path)
+        else:
+            self.config = ScanConfig()
+            save_config(self.config, cfg_path)
+        self.cam: Optional[Camera] = None
+        self.proj: Optional[Camera] = None
+        calib = self.root / "calibration.json"
+        if calib.exists():
+            self.cam, self.proj, _ = load_calibration(calib)
+
+    # --- calibration ---
+    def set_calibration(self, cam: Camera, proj: Camera, meta=None):
+        self.cam, self.proj = cam, proj
+        save_calibration(self.root / "calibration.json", cam, proj, meta)
+
+    # --- scans ---
+    def add_scan(self, frames) -> int:
+        idx = len(self.scan_paths())
+        save_stage(self.root / "scans" / f"scan_{idx:03d}.npz",
+                   frames=np.asarray(frames))
+        return idx
+
+    def scan_paths(self):
+        return sorted((self.root / "scans").glob("scan_*.npz"))
+
+    def load_scan(self, idx: int):
+        return jnp.asarray(load_stage(self.scan_paths()[idx])["frames"])
+
+    # --- reconstruction ---
+    def reconstruct(self, idx: int, fused: bool = True,
+                    spatial_iters: int = 0) -> ScanCloud:
+        assert self.cam is not None, "calibrate or set_calibration first"
+        frames = self.load_scan(idx)
+        p = self.config.pattern
+        if fused and p.row_gray_bits == 0 and p.phase_steps > 0:
+            cloud = reconstruct_dense(
+                frames, self.cam, self.proj, p, self.config.decode,
+                self.config.reconstruct, spatial_iters=spatial_iters,
+            )
+        else:
+            cloud = reconstruct_scan(
+                frames, self.cam, self.proj, p, self.config.decode,
+                self.config.reconstruct,
+            )
+        save_stage(
+            self.root / "clouds" / f"scan_{idx:03d}.npz",
+            points=np.asarray(cloud.points), mask=np.asarray(cloud.mask),
+            colors=np.asarray(cloud.colors), quality=np.asarray(cloud.quality),
+            x_p=np.asarray(cloud.x_p),
+        )
+        return cloud
+
+    def load_cloud(self, idx: int) -> ScanCloud:
+        d = load_stage(self.root / "clouds" / f"scan_{idx:03d}.npz")
+        return ScanCloud(
+            points=jnp.asarray(d["points"]), mask=jnp.asarray(d["mask"]),
+            colors=jnp.asarray(d["colors"]), quality=jnp.asarray(d["quality"]),
+            x_p=jnp.asarray(d["x_p"]),
+        )
+
+    def cloud_count(self) -> int:
+        return len(list((self.root / "clouds").glob("scan_*.npz")))
+
+    # --- registration + fusion ---
+    def register(self, use_features: bool = True) -> RegisteredScans:
+        clouds = [self.load_cloud(i) for i in range(self.cloud_count())]
+        reg = register_scans(clouds, self.config.registration,
+                             use_features=use_features)
+        save_stage(self.root / "registration.npz",
+                   R=np.asarray(reg.R), t=np.asarray(reg.t),
+                   icp_rms=np.asarray(reg.icp_rms),
+                   pg_rms=np.asarray(reg.pg_rms))
+        return reg
+
+    def load_registration(self) -> RegisteredScans:
+        d = load_stage(self.root / "registration.npz")
+        return RegisteredScans(
+            R=jnp.asarray(d["R"]), t=jnp.asarray(d["t"]),
+            icp_rms=jnp.asarray(d["icp_rms"]), pg_rms=jnp.asarray(d["pg_rms"]),
+        )
+
+    def fuse(self, capacity: int = 1 << 20) -> str:
+        clouds = [self.load_cloud(i) for i in range(self.cloud_count())]
+        reg = self.load_registration()
+        pts, val, col, n_vox = fuse_scans(
+            clouds, reg, self.config.registration, capacity=capacity
+        )
+        out = self.root / "fused.ply"
+        gray = jnp.broadcast_to(col, (col.shape[0], 3))
+        write_ply(out, pts, mask=val, colors=gray)
+        return str(out)

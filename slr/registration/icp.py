@@ -71,13 +71,27 @@ def icp_point_to_plane(
         q = tgt[idx]
         n = tgt_normals[idx]
         w = (src_valid & (d2 < max_d2)).astype(jnp.float32)
+        # robust (Huber/IRLS) reweighting: grazing-incidence and edge
+        # points carry amplified depth noise that biases the plain L2
+        # solve (measured ~0.4 mm systematic residual on a sphere+plane
+        # scene); delta adapts to the current inlier residual scale
+        e_pre = jnp.sum((moved - q) * n, axis=1)
+        abs_e = jnp.abs(e_pre)
+        big = jnp.where(w > 0, abs_e, jnp.nan)
+        delta = jnp.maximum(jnp.nanpercentile(big, 70.0), 1e-6)
+        w = w * jnp.minimum(1.0, delta / jnp.maximum(abs_e, 1e-12))
         xi, e = _solve_point_to_plane(moved, q, n, w)
         dR = so3_exp(xi[3:])
         dt = xi[:3]
         # update: p -> dR @ p + dt applied after current pose
         R_new, t_new = se3_compose(dR, dt, R, t)
-        wsum = jnp.sum(w) + 1e-9
-        rms = jnp.sqrt(jnp.sum(w * e * e) / wsum)
+        wsum = jnp.sum(w)
+        # no surviving correspondences = divergence, not a perfect fit
+        rms = jnp.where(
+            wsum > 1.0,
+            jnp.sqrt(jnp.sum(w * e * e) / jnp.maximum(wsum, 1e-9)),
+            jnp.inf,
+        )
         inl = wsum / (jnp.sum(src_valid.astype(jnp.float32)) + 1e-9)
         return (R_new, t_new), (rms, inl)
 

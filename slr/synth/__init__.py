@@ -11,7 +11,8 @@ data is synthetic).
 from slr.synth.scene import (
     plane_depth,
     sphere_depth,
+    spheres_scene,
     bumps_depth,
     checker_albedo,
 )
-from slr.synth.render import render_scan, RenderedScan, default_rig
+from slr.synth.render import render_scan, RenderedScan, default_rig, move_rig

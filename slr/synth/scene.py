@@ -20,41 +20,66 @@ def _pixel_grid(h: int, w: int):
     return u, v
 
 
-def plane_depth(cam: Camera, h: int, w: int, point, normal):
-    """Depth map of the plane through ``point`` with ``normal`` (world frame).
+def _cam_depth(cam: Camera, pts):
+    """World points -> depth along the camera z axis (works for any
+    extrinsics; reduces to pts[..., 2] for the origin camera)."""
+    return jnp.einsum("j,...j->...", cam.R[2], pts) + cam.t[2]
 
-    Assumes the camera is at the world origin looking down +z (the standard
-    scan frame). Depth = z-component of the ray-plane intersection.
-    """
+
+def plane_depth(cam: Camera, h: int, w: int, point, normal):
+    """Depth map of the plane through ``point`` with ``normal`` (world
+    frame), as seen by ``cam`` (any extrinsics)."""
     u, v = _pixel_grid(h, w)
     o, d = pixel_to_ray(cam, u, v)
     point = jnp.asarray(point, jnp.float32)
     normal = jnp.asarray(normal, jnp.float32)
     denom = jnp.einsum("...i,i->...", d, normal)
     denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-    lam = jnp.einsum("i,i->", point - o if o.ndim == 1 else point, normal) / denom
+    lam = jnp.einsum("...i,i->...", point - o, normal) / denom
     pts = o + lam[..., None] * d
-    return pts[..., 2]
+    return _cam_depth(cam, pts)
 
 
 def sphere_depth(cam: Camera, h: int, w: int, center, radius, background=None):
-    """Depth of a sphere; pixels missing the sphere fall back to background
-    (a constant depth or another depth map). Camera at origin."""
+    """Depth of a sphere seen by ``cam`` (any extrinsics); pixels missing
+    the sphere fall back to background (a constant camera-frame depth)."""
     u, v = _pixel_grid(h, w)
     o, d = pixel_to_ray(cam, u, v)
     c = jnp.asarray(center, jnp.float32)
     oc = o - c
     b = jnp.einsum("...i,i->...", d, oc)
-    cc = jnp.einsum("i,i->", oc, oc) - radius * radius
+    cc = jnp.einsum("...i,...i->...", oc, oc) - radius * radius
     disc = b * b - cc
     hit = disc > 0
     lam = -b - jnp.sqrt(jnp.where(hit, disc, 0.0))
     pts = o + lam[..., None] * d
-    z = pts[..., 2]
+    z = _cam_depth(cam, pts)
     if background is None:
-        background = c[2] + 4.0 * radius
+        background = float(c[2]) + 4.0 * radius
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), z.shape)
     return jnp.where(hit & (lam > 0), z, bg)
+
+
+def spheres_scene(cam: Camera, h: int, w: int, plane_point=(0, 0, 560.0),
+                  plane_normal=(0.15, 0.1, -1.0), spheres=None):
+    """Asymmetric closed-form world scene: tilted plane + several spheres
+    (min depth). Re-renderable from any rig pose, which makes it the
+    multi-scan registration fixture — NOTE a single sphere + plane is
+    rotationally symmetric about the plane normal through its centre, so
+    any pose along that orbit fits equally well; several unequal spheres
+    break every symmetry."""
+    if spheres is None:
+        spheres = (
+            ((20.0, 5.0, 540.0), 140.0),
+            ((-60.0, -40.0, 520.0), 60.0),
+            ((70.0, 50.0, 530.0), 45.0),
+        )
+    depth = plane_depth(cam, h, w, plane_point, plane_normal)
+    for center, radius in spheres:
+        depth = jnp.minimum(
+            depth, sphere_depth(cam, h, w, center, radius, background=1e6)
+        )
+    return depth
 
 
 def bumps_depth(h: int, w: int, base: float = 500.0, amp: float = 30.0,

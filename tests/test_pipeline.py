@@ -1,0 +1,168 @@
+"""Golden end-to-end pipeline tests, configs 1-5 [B:7-12], fixed seeds.
+
+The virtual scanner provides exact ground truth at every stage; each
+config rung asserts its cloud/pose RMS bound (SURVEY.md section 6).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slr.config import (
+    DecodeConfig, PatternConfig, ReconstructConfig, RegistrationConfig,
+    ScanConfig,
+)
+from slr.geom.se3 import so3_exp
+from slr.pipeline import (
+    Session, accumulate_by_projector, fuse_scans, reconstruct_dense,
+    reconstruct_scan, register_scans,
+)
+from slr.synth import spheres_scene
+from slr.synth.render import default_rig, move_rig, render_scan
+
+CAM_W, CAM_H = 256, 160
+PROJ_W, PROJ_H = 256, 192
+
+
+def _rig():
+    return default_rig(cam_w=CAM_W, cam_h=CAM_H, proj_w=PROJ_W, proj_h=PROJ_H,
+                       baseline=150.0, toe_in_deg=14.0)
+
+
+def _scene(cam):
+    return spheres_scene(cam, CAM_H, CAM_W)
+
+
+def _poses(S):
+    out = [(jnp.eye(3), jnp.zeros(3))]
+    for s in range(1, S):
+        rv = jnp.asarray([0.0, 0.03 * s, 0.01 * s], jnp.float32)
+        tv = jnp.asarray([8.0 * s, -4.0 * s, 0.0], jnp.float32)
+        out.append((so3_exp(rv), tv))
+    return out
+
+
+def test_config1_gray_only():
+    cam, proj = _rig()
+    cfg = PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H, gray_bits=7,
+                        phase_steps=0)
+    scan = render_scan(cam, proj, _scene(cam), cfg)
+    cloud = reconstruct_scan(scan.frames, cam, proj, cfg)
+    valid = cloud.mask & scan.mask_true
+    err = jnp.where(valid, jnp.linalg.norm(cloud.points - scan.points_true,
+                                           axis=-1), 0.0)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / jnp.sum(valid)))
+    # gray-only: half-stripe (1 px) quantization -> few-mm RMS bound
+    assert rms < 5.0, rms
+
+
+def test_config2_phase():
+    cam, proj = _rig()
+    cfg = PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H, gray_bits=6,
+                        phase_steps=4)
+    scan = render_scan(cam, proj, _scene(cam), cfg, noise_std=0.005,
+                       key=jax.random.PRNGKey(2))
+    cloud = reconstruct_scan(scan.frames, cam, proj, cfg)
+    valid = cloud.mask & scan.mask_true
+    err = jnp.where(valid, jnp.linalg.norm(cloud.points - scan.points_true,
+                                           axis=-1), 0.0)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / jnp.sum(valid)))
+    assert rms < 1.0, rms  # sub-mm [B:5]
+
+
+def test_config3_fused_dense_with_accumulation():
+    cam, proj = _rig()
+    cfg = PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H, gray_bits=6,
+                        phase_steps=4)
+    scan = render_scan(cam, proj, _scene(cam), cfg, noise_std=0.005,
+                       key=jax.random.PRNGKey(3))
+    cloud = reconstruct_dense(scan.frames, cam, proj, cfg,
+                              spatial_iters=4)
+    valid = cloud.mask & scan.mask_true
+    err = jnp.where(valid, jnp.linalg.norm(cloud.points - scan.points_true,
+                                           axis=-1), 0.0)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / jnp.sum(valid)))
+    assert rms < 1.0, rms
+    # projector accumulation keeps geometry: grid means stay on-surface
+    pts_a, mask_a, col_a = accumulate_by_projector(cloud, PROJ_W)
+    assert pts_a.shape == (CAM_H, PROJ_W, 3)
+    assert float(jnp.sum(mask_a)) > 0.2 * float(jnp.sum(cloud.mask))
+
+
+def _render_multi(S=3, noise=0.003):
+    cam, proj = _rig()
+    cfg = PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H, gray_bits=6,
+                        phase_steps=4)
+    clouds, poses = [], _poses(S)
+    world_pts = []
+    for s, (R_m, t_m) in enumerate(poses):
+        cam_s, proj_s = move_rig(cam, proj, R_m, t_m)
+        depth = _scene(cam_s)
+        scan = render_scan(cam_s, proj_s, depth, cfg, noise_std=noise,
+                           key=jax.random.PRNGKey(10 + s))
+        cloud = reconstruct_dense(scan.frames, cam, proj, cfg)
+        clouds.append(cloud)
+        world_pts.append(scan.points_true)
+    return cam, cfg, clouds, poses, world_pts
+
+
+def test_config4_registration_recovers_rig_poses():
+    cam, cfg, clouds, poses, _ = _render_multi(S=3)
+    reg = register_scans(clouds, RegistrationConfig(icp_sample_points=2048),
+                         use_features=False)
+    for s, (R_m, t_m) in enumerate(poses):
+        rot_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(reg.R[s]).T @ np.asarray(R_m)) - 1) / 2,
+            -1, 1)))
+        t_err = float(jnp.linalg.norm(reg.t[s] - t_m))
+        assert rot_err < 0.5, (s, rot_err)
+        assert t_err < 2.0, (s, t_err)
+
+
+def test_config5_fusion_rms():
+    cam, cfg, clouds, poses, world_pts = _render_multi(S=3)
+    reg = register_scans(clouds, RegistrationConfig(icp_sample_points=2048),
+                         use_features=False)
+    pts, val, col, n_vox = fuse_scans(clouds, reg,
+                                      RegistrationConfig(voxel_size=2.0),
+                                      capacity=1 << 17)
+    assert int(n_vox) > 1000
+    # fused points must lie on the true world surface: compare to the
+    # union of ground-truth clouds via NN distance
+    from slr.registration import nearest_neighbors
+    gt = jnp.concatenate([w.reshape(-1, 3) for w in world_pts])
+    gt_valid = jnp.concatenate(
+        [c.mask.reshape(-1) for c in clouds]
+    )
+    sel = jnp.where(val)[0][:4096]
+    idx, d2 = nearest_neighbors(pts[sel], gt, gt_valid, tile=4096)
+    rms = float(jnp.sqrt(jnp.mean(d2)))
+    assert rms < 2.5, rms  # voxel_size=2 quantization + registration error
+
+
+def test_session_end_to_end(tmp_path):
+    """Session API: add scans -> reconstruct -> register -> fuse -> PLY."""
+    cfg = ScanConfig(
+        pattern=PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H,
+                              gray_bits=6, phase_steps=4),
+        cam_width=CAM_W, cam_height=CAM_H,
+        registration=RegistrationConfig(icp_sample_points=1024),
+    )
+    sess = Session(tmp_path / "s", config=cfg)
+    cam, proj = _rig()
+    sess.set_calibration(cam, proj)
+    for s, (R_m, t_m) in enumerate(_poses(2)):
+        cam_s, proj_s = move_rig(cam, proj, R_m, t_m)
+        scan = render_scan(cam_s, proj_s, _scene(cam_s), cfg.pattern)
+        sess.add_scan(scan.frames)
+        sess.reconstruct(s)
+    reg = sess.register(use_features=False)
+    out = sess.fuse(capacity=1 << 16)
+    from slr.io import read_ply
+    pts, col, _ = read_ply(out)
+    assert pts.shape[0] > 1000
+    # session reload resumes from disk
+    sess2 = Session(tmp_path / "s")
+    assert sess2.cloud_count() == 2
+    assert sess2.cam is not None
