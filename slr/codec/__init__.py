@@ -21,3 +21,8 @@ from slr.codec.unwrap import (
     spatial_quality_unwrap,
 )
 from slr.codec.patterns import generate_pattern_stack, decode_stack
+from slr.codec.multifreq import (
+    generate_multifreq_stack,
+    decode_multifreq,
+    default_pitches,
+)

@@ -76,10 +76,20 @@ def spatial_quality_unwrap(Phi, quality, mask, iters: int = 8):
     return Phi_out
 
 
-def _shift_zero(a, dy, dx):
+def _shift_zero(a, dy, dx, roll_fn=None):
     """roll + zero-fill at borders (no wraparound leakage). Implemented
-    with iota masks (not .at[].set) so it lowers inside Pallas kernels."""
-    out = jnp.roll(a, shift=(dy, dx), axis=(0, 1))
+    with iota masks (not .at[].set) so it lowers inside Pallas kernels.
+    roll_fn overrides the roll primitive (the Pallas kernel passes
+    pltpu.roll, the TPU vector-rotate, which lowers far better than the
+    generic jnp.roll inside Mosaic)."""
+    if roll_fn is None:
+        out = jnp.roll(a, shift=(dy, dx), axis=(0, 1))
+    else:
+        out = a
+        if dy:
+            out = roll_fn(out, dy, 0)
+        if dx:
+            out = roll_fn(out, dx, 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
     if dy == 1:
@@ -93,7 +103,7 @@ def _shift_zero(a, dy, dx):
     return out
 
 
-def propagation_step(Phi_c, q_c, mask):
+def propagation_step(Phi_c, q_c, mask, roll_fn=None):
     """One quality-guided repair sweep (shared by the jnp path above and
     the Pallas kernel in slr.kernels.unwrap_scan — identical semantics).
 
@@ -111,8 +121,8 @@ def propagation_step(Phi_c, q_c, mask):
     fmask = mask.astype(jnp.float32)
     votes, valids = [], []
     for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        nb_val = _shift_zero(fmask, dy, dx)
-        nb_phi = _shift_zero(Phi_c * fmask, dy, dx)
+        nb_val = _shift_zero(fmask, dy, dx, roll_fn)
+        nb_phi = _shift_zero(Phi_c * fmask, dy, dx, roll_fn)
         k = jnp.round((nb_phi - Phi_c) / TWO_PI)
         votes.append(k)
         valids.append(nb_val > 0.5)

@@ -131,13 +131,28 @@ def _to_dict(cfg) -> dict:
 
 
 def save_config(cfg: ScanConfig, path: str) -> None:
+    """JSON or YAML by extension (.yaml/.yml) — the role of the
+    reference's persisted Qt settings / cv::FileStorage YAML."""
+    path = str(path)
+    d = _to_dict(cfg)
     with open(path, "w") as f:
-        json.dump(_to_dict(cfg), f, indent=2)
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            yaml.safe_dump(d, f, sort_keys=False)
+        else:
+            json.dump(d, f, indent=2)
 
 
 def load_config(path: str) -> ScanConfig:
+    path = str(path)
     with open(path) as f:
-        d = json.load(f)
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            d = yaml.safe_load(f)
+        else:
+            d = json.load(f)
     return ScanConfig(
         pattern=PatternConfig(**d.get("pattern", {})),
         decode=DecodeConfig(**d.get("decode", {})),

@@ -19,3 +19,5 @@ from slr.dist.mesh import make_mesh, init_distributed
 from slr.dist.halo import halo_exchange_rows
 from slr.dist.sharded import sharded_reconstruct, sharded_unwrap
 from slr.dist.ba import distributed_bundle_adjust, bundle_adjust_reference
+from slr.dist.batch import batched_reconstruct
+from slr.dist.recovery import resume_ba, reshard_fragments

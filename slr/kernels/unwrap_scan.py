@@ -26,11 +26,16 @@ from slr.kernels.common import round_up, use_interpret
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _tpu_roll(a, shift, axis):
+    # pltpu.roll requires a non-negative shift
+    return pltpu.roll(a, shift=shift % a.shape[axis], axis=axis)
+
+
 def _kernel(phi_ref, q_ref, mask_ref, out_ref, *, iters: int):
     mask = mask_ref[:] > 0.5
 
     def body(_, state):
-        return propagation_step(state[0], state[1], mask)
+        return propagation_step(state[0], state[1], mask, roll_fn=_tpu_roll)
 
     Phi, _ = jax.lax.fori_loop(
         0, iters, body, (phi_ref[:], jnp.where(mask, q_ref[:], 0.0))

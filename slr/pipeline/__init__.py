@@ -18,5 +18,7 @@ from slr.pipeline.reconstruct import (
     accumulate_by_projector,
     ScanCloud,
 )
-from slr.pipeline.registerfuse import register_scans, fuse_scans
+from slr.pipeline.registerfuse import register_scans, fuse_scans, ba_refine
 from slr.pipeline.session import Session
+from slr.pipeline.meshing import grid_faces, write_mesh_obj
+from slr.pipeline.checks import checked_reconstruct, nan_guard

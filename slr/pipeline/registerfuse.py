@@ -114,6 +114,55 @@ def register_scans(
     )
 
 
+def ba_refine(
+    clouds: List[ScanCloud],
+    reg: RegisteredScans,
+    n_landmarks: int = 512,
+    corr_dist: float = 3.0,
+    iters: int = 8,
+    mesh=None,
+) -> RegisteredScans:
+    """Multi-scan bundle adjustment on top of the pose-graph solution
+    (SURVEY.md 4.7, the "multi-scan BA RMS" metric [B:2]).
+
+    Landmarks are sampled from the anchor-frame surface; each scan
+    observing a landmark (NN within corr_dist in its own frame)
+    contributes a residual. Poses + landmarks refine jointly through the
+    Schur-complement solver — distributed over map_block when a mesh is
+    given, else the single-device oracle path.
+    """
+    from slr.dist.ba import bundle_adjust_reference, distributed_bundle_adjust
+    from slr.registration.nn import nearest_neighbors
+
+    S = len(clouds)
+    samples = [_subsample(c, 4096, seed=100 + i) for i, c in enumerate(clouds)]
+    # landmarks: subsample of scan 0 in the anchor (world) frame
+    X0 = samples[0][0][:n_landmarks]
+    obs_s, obs_p, obs_w = [], [], []
+    for s in range(S):
+        pts_s = samples[s][0]
+        # landmark in scan-s frame: X_s = R_s^T (X - t_s)
+        Xl = (X0 - reg.t[s]) @ reg.R[s]
+        idx, d2 = nearest_neighbors(Xl, pts_s, tile=2048)
+        w = (d2 < corr_dist * corr_dist).astype(jnp.float32)
+        obs_s.append(jnp.full((n_landmarks,), s, jnp.int32))
+        obs_p.append(pts_s[idx])
+        obs_w.append(w)
+    obs_s = jnp.stack(obs_s, axis=1)      # (L, S)
+    obs_p = jnp.stack(obs_p, axis=1)      # (L, S, 3)
+    obs_w = jnp.stack(obs_w, axis=1)      # (L, S)
+    if mesh is not None:
+        res = distributed_bundle_adjust(
+            reg.R, reg.t, X0, obs_s, obs_p, obs_w, mesh, iters=iters
+        )
+    else:
+        res = bundle_adjust_reference(
+            reg.R, reg.t, X0, obs_s, obs_p, obs_w, iters=iters
+        )
+    return RegisteredScans(R=res.R, t=res.t, icp_rms=reg.icp_rms,
+                           pg_rms=res.rms)
+
+
 def fuse_scans(
     clouds: List[ScanCloud],
     reg: RegisteredScans,

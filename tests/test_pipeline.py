@@ -166,3 +166,40 @@ def test_session_end_to_end(tmp_path):
     sess2 = Session(tmp_path / "s")
     assert sess2.cloud_count() == 2
     assert sess2.cam is not None
+
+
+def test_ba_refine_improves_or_holds_poses():
+    """Multi-scan BA on top of the pose graph: the BA RMS metric [B:2]."""
+    from slr.pipeline import ba_refine
+    cam, cfg, clouds, poses, _ = _render_multi(S=3)
+    reg = register_scans(clouds, RegistrationConfig(icp_sample_points=2048),
+                         use_features=False)
+    reg2 = ba_refine(clouds, reg, n_landmarks=256)
+    # point-to-point BA residual floors at the NN sample spacing (~1 mm
+    # lateral offset between a landmark and its nearest sampled point)
+    assert float(reg2.pg_rms) < 1.5, float(reg2.pg_rms)
+
+    def pose_err(R_est, t_est, R_m, t_m):
+        rot = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(R_est).T @ np.asarray(R_m)) - 1) / 2, -1, 1)))
+        return rot, float(jnp.linalg.norm(t_est - t_m))
+
+    for s, (R_m, t_m) in enumerate(poses):
+        rot0, te0 = pose_err(reg.R[s], reg.t[s], R_m, t_m)
+        rot1, te1 = pose_err(reg2.R[s], reg2.t[s], R_m, t_m)
+        # BA must not degrade the pose-graph estimate materially
+        assert rot1 < max(1.5 * rot0, 0.5), (s, rot0, rot1)
+        assert te1 < max(1.5 * te0, 2.0), (s, te0, te1)
+
+
+def test_ba_refine_distributed_matches():
+    from slr.pipeline import ba_refine
+    from slr.dist import make_mesh
+    cam, cfg, clouds, poses, _ = _render_multi(S=3)
+    reg = register_scans(clouds, RegistrationConfig(icp_sample_points=2048),
+                         use_features=False)
+    ref = ba_refine(clouds, reg, n_landmarks=256)
+    mesh = make_mesh(pixel_tiles=2, map_blocks=4)
+    dist = ba_refine(clouds, reg, n_landmarks=256, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(dist.t), np.asarray(ref.t),
+                               atol=1e-2)
