@@ -173,3 +173,30 @@ def test_voxel_downsample_matches_numpy():
     got_sorted = got[np.lexsort(got.T)]
     ref_sorted = ref_means[np.lexsort(ref_means.T)]
     np.testing.assert_allclose(got_sorted, ref_sorted, atol=1e-4)
+
+
+def test_voxel_hash_nn_vs_scipy():
+    """Voxel-hash NN (SURVEY.md section 9): exact within one voxel radius,
+    checked against scipy cKDTree."""
+    from scipy.spatial import cKDTree
+    from slr.registration.voxel import build_voxel_hash, voxel_hash_nn
+
+    rng = np.random.default_rng(11)
+    tgt = rng.uniform(-40, 40, (3000, 3)).astype(np.float32)
+    qry = (tgt[:400] + rng.normal(0, 0.5, (400, 3))).astype(np.float32)
+    vs = 4.0
+    table, row_ids = build_voxel_hash(
+        jnp.asarray(tgt), jnp.ones(3000, bool), vs, bucket_cap=16
+    )
+    idx, d2 = voxel_hash_nn(jnp.asarray(qry), jnp.asarray(tgt), table,
+                            row_ids, vs, bucket_cap=16)
+    tree = cKDTree(tgt)
+    d_ref, i_ref = tree.query(qry)
+    found = np.asarray(idx) >= 0
+    assert found.mean() > 0.99
+    # wherever the true NN is within one voxel AND its bucket didn't
+    # overflow, the result is exact; accept tiny mismatch from overflow
+    agree = (np.asarray(idx) == i_ref) | (
+        np.abs(np.sqrt(np.asarray(d2)) - d_ref) < 1e-3
+    )
+    assert agree[found].mean() > 0.97, agree[found].mean()
