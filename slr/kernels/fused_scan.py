@@ -5,24 +5,27 @@ reference collapsed into ONE kernel): the (F, H, W) captured frame stack
 is read from HBM exactly once per pixel tile, and the kernel emits the 3D
 point map, validity mask and quality map directly — Gray decode + per-bit
 certainty, N-step phase, cyclic half-shifted temporal unwrap, camera-ray
-undistortion and ray/plane triangulation all fused in VMEM. With ~100 MB
-of frames in and ~20 MB out per megapixel scan this runs at HBM
-speed-of-light; everything else is VPU arithmetic hidden under the DMA.
+undistortion and triangulation all fused in VMEM. With ~100 MB of frames
+in and ~20 MB out per megapixel scan this runs at HBM speed-of-light;
+everything else is VPU arithmetic hidden under the DMA.
+
+Two triangulation modes (the "fused midpoint/DLT kernel" of [B:5]):
+- column-only coding -> camera-ray x projector-column-plane intersection
+  (projector distortion neglected, standard for column codes);
+- row+column coding  -> midpoint of the common perpendicular between the
+  undistorted camera and projector rays (full projector distortion).
 
 Assumes the standard scan frame: camera at the world origin with R = I
-(the wrapper asserts this); column-only Gray + phase coding with the
-half-shifted cyclic layout of slr.codec (projector distortion neglected
-for the column-plane method, as in the reference pipeline).
-
-Bit-exactness vs the pure-JAX path (slr.codec.decode_stack +
-slr.geom.triangulate_plane) is asserted in tests/test_kernels.py.
+(the wrapper asserts this). Bit-exactness vs the pure-JAX path
+(slr.codec.decode_stack + slr.geom.triangulate) is asserted in
+tests/test_kernels.py.
 """
 
 from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,45 +47,73 @@ class FusedScanOut(NamedTuple):
     x_p: jnp.ndarray       # (H, W) decoded sub-pixel projector column
 
 
-def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
-            *, bits: int, steps: int, tile_h: int, width: int,
-            undistort_iters: int):
-    p = params_ref
-    tau_black, tau_white, tau_mod = p[0, 0], p[0, 1], p[0, 2]
-    fx, fy, cx, cy = p[0, 3], p[0, 4], p[0, 5], p[0, 6]
-    k1, k2, p1, p2, k3 = p[0, 7], p[0, 8], p[0, 9], p[0, 10], p[0, 11]
-    pfx, pcx = p[0, 12], p[0, 13]
-    # projector world->proj rotation R (row major) and centre C_p (world)
-    R00, R01, R02 = p[0, 14], p[0, 15], p[0, 16]
-    R10, R11, R12 = p[0, 17], p[0, 18], p[0, 19]
-    R20, R21, R22 = p[0, 20], p[0, 21], p[0, 22]
-    Cx, Cy, Cz = p[0, 23], p[0, 24], p[0, 25]
-    pitch = p[0, 26]
-    zmin, zmax = p[0, 27], p[0, 28]
+def _undistort(xd, yd, k1, k2, p1, p2, k3, iters):
+    xn, yn = xd, yd
+    for _ in range(iters):
+        r2 = xn * xn + yn * yn
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xy = xn * yn
+        xdd = xn * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * xn * xn)
+        ydd = yn * radial + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xy
+        xn = xn + (xd - xdd)
+        yn = yn + (yd - ydd)
+    return xn, yn
 
-    white = f_ref[0]
-    black = f_ref[1]
-    contrast = white - black
-    mask = contrast > tau_black
 
-    # --- Gray decode (MSB first), per-bit certainty ---
-    g = jnp.zeros(white.shape, jnp.int32)
-    certain = mask
+def _gray_decode_block(f_ref, first: int, bits: int, tau_white, certain):
+    """MSB-first Gray bits at frames [first, first+bits) with inverses at
+    [first+bits, first+2*bits); returns (binary code, updated certainty)."""
+    g = jnp.zeros(f_ref[0].shape, jnp.int32)
     for i in range(bits):
-        diff = f_ref[2 + i] - f_ref[2 + bits + i]
+        diff = f_ref[first + i] - f_ref[first + bits + i]
         g = (g << 1) | (diff > 0.0).astype(jnp.int32)
         certain = certain & (jnp.abs(diff) > tau_white)
-    # Gray -> binary prefix-XOR (doubling)
     b = g
     shift = 1
     while shift < bits:
         b = b ^ (b >> shift)
         shift <<= 1
+    return b, certain
+
+
+def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
+            *, bits: int, row_bits: int, steps: int, tile_h: int,
+            undistort_iters: int):
+    p = params_ref
+    tau_black, tau_white, tau_mod = p[0, 0], p[0, 1], p[0, 2]
+    fx, fy, cx, cy = p[0, 3], p[0, 4], p[0, 5], p[0, 6]
+    k1, k2, p1, p2, k3 = p[0, 7], p[0, 8], p[0, 9], p[0, 10], p[0, 11]
+    pfx, pfy, pcx, pcy = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
+    q1, q2, s1, s2, q3 = p[0, 16], p[0, 17], p[0, 18], p[0, 19], p[0, 20]
+    # projector world->proj rotation R (row major) and centre C_p (world)
+    R00, R01, R02 = p[0, 21], p[0, 22], p[0, 23]
+    R10, R11, R12 = p[0, 24], p[0, 25], p[0, 26]
+    R20, R21, R22 = p[0, 27], p[0, 28], p[0, 29]
+    Cx, Cy, Cz = p[0, 30], p[0, 31], p[0, 32]
+    pitch = p[0, 33]
+    row_pitch = p[0, 34]
+    zmin, zmax = p[0, 35], p[0, 36]
+
+    white = f_ref[0]
+    black = f_ref[1]
+    contrast = white - black
+    certain = contrast > tau_black
+
+    # --- column Gray decode ---
+    b, certain = _gray_decode_block(f_ref, 2, bits, tau_white, certain)
+
+    # --- optional row Gray decode (aligned layout) ---
+    y_p = None
+    if row_bits:
+        rb, certain = _gray_decode_block(
+            f_ref, 2 + 2 * bits, row_bits, tau_white, certain
+        )
+        y_p = (rb.astype(jnp.float32) + 0.5) * row_pitch
 
     # --- N-step phase ---
     S = jnp.zeros(white.shape, jnp.float32)
     C = jnp.zeros(white.shape, jnp.float32)
-    base = 2 + 2 * bits
+    base = 2 + 2 * bits + 2 * row_bits
     for k in range(steps):
         d = TWO_PI * k / steps
         fk = f_ref[base + k]
@@ -102,41 +133,58 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     w_coded = pitch * n
     x_p = jnp.where(x_p > w_coded - 0.5, x_p - w_coded, x_p)
 
-    # --- camera ray (undistort) ---
+    # --- camera ray (undistort); unnormalized d1 = (xn, yn, 1) so the
+    # ray parameter equals camera depth z ---
     i_tile = pl.program_id(0)
     # tpu.iota only produces integers; cast to f32 after
     rows = jax.lax.broadcasted_iota(jnp.int32, white.shape, 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, white.shape, 1).astype(jnp.float32)
     v_pix = rows + i_tile * tile_h
     u_pix = cols
-    xd = (u_pix - cx) / fx
-    yd = (v_pix - cy) / fy
-    xn, yn = xd, yd
-    for _ in range(undistort_iters):
-        r2 = xn * xn + yn * yn
-        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
-        xy = xn * yn
-        xdd = xn * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * xn * xn)
-        ydd = yn * radial + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xy
-        xn = xn + (xd - xdd)
-        yn = yn + (yd - ydd)
-    # unnormalized ray d = (xn, yn, 1); lambda is then the camera depth z
+    xn, yn = _undistort((u_pix - cx) / fx, (v_pix - cy) / fy,
+                        k1, k2, p1, p2, k3, undistort_iters)
 
-    # --- projector column plane: n_p = (1, 0, -xnp), n_w = R^T n_p ---
-    xnp = (x_p - pcx) / pfx
-    nwx = R00 - R20 * xnp
-    nwy = R01 - R21 * xnp
-    nwz = R02 - R22 * xnp
-    den = nwx * xn + nwy * yn + nwz
-    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-    num = nwx * Cx + nwy * Cy + nwz * Cz
-    lam = num / den
+    if row_bits == 0:
+        # column-plane: n_p = (1, 0, -xnp), n_w = R^T n_p
+        xnp = (x_p - pcx) / pfx
+        nwx = R00 - R20 * xnp
+        nwy = R01 - R21 * xnp
+        nwz = R02 - R22 * xnp
+        den = nwx * xn + nwy * yn + nwz
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        num = nwx * Cx + nwy * Cy + nwz * Cz
+        lam = num / den
+        Xx, Xy, Xz = xn * lam, yn * lam, lam
+    else:
+        # midpoint of common perpendicular between camera and projector
+        # rays; projector ray fully undistorted
+        xnp, ynp = _undistort((x_p - pcx) / pfx, (y_p - pcy) / pfy,
+                              q1, q2, s1, s2, q3, undistort_iters)
+        # d2 = R^T (xnp, ynp, 1) in world frame
+        d2x = R00 * xnp + R10 * ynp + R20
+        d2y = R01 * xnp + R11 * ynp + R21
+        d2z = R02 * xnp + R12 * ynp + R22
+        # o1 = 0, o2 = C_p, r = o1 - o2 = -C_p
+        a = xn * xn + yn * yn + 1.0
+        bb = xn * d2x + yn * d2y + d2z
+        c = d2x * d2x + d2y * d2y + d2z * d2z
+        dd = -(xn * Cx + yn * Cy + Cz)
+        e = -(d2x * Cx + d2y * Cy + d2z * Cz)
+        den = a * c - bb * bb
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        s = (bb * e - c * dd) / den
+        t = (a * e - bb * dd) / den
+        Xx = 0.5 * (s * xn + Cx + t * d2x)
+        Xy = 0.5 * (s * yn + Cy + t * d2y)
+        Xz = 0.5 * (s + Cz + t * d2z)
+        lam = Xz
+
     mask = mask & (lam > zmin) & (lam < zmax)
     fmask = mask.astype(jnp.float32)
 
-    pts_ref[0] = xn * lam * fmask
-    pts_ref[1] = yn * lam * fmask
-    pts_ref[2] = lam * fmask
+    pts_ref[0] = Xx * fmask
+    pts_ref[1] = Xy * fmask
+    pts_ref[2] = Xz * fmask
     mask_ref[:] = fmask
     qual_ref[:] = modulation
     xp_ref[:] = x_p
@@ -154,9 +202,9 @@ def fused_decode_triangulate(
     tile_h: int = 32,
     undistort_iters: int = 8,
 ) -> FusedScanOut:
-    """One-pass scan reconstruction. Requires column Gray + phase coding
-    (cfg.row_gray_bits == 0, cfg.phase_steps > 0, cfg.use_inverse)."""
-    assert cfg.row_gray_bits == 0 and cfg.phase_steps > 0 and cfg.use_inverse
+    """One-pass scan reconstruction. Requires phase coding + inverses;
+    row_gray_bits == 0 -> column-plane mode, > 0 -> fused midpoint mode."""
+    assert cfg.phase_steps > 0 and cfg.use_inverse
     F, H, W = frames.shape
     assert F == cfg.num_frames, (F, cfg.num_frames)
 
@@ -166,6 +214,9 @@ def fused_decode_triangulate(
     if (Wp, Hp) != (W, H):
         frames = jnp.pad(frames, ((0, 0), (0, Hp - H), (0, Wp - W)))
 
+    row_pitch = (
+        cfg.proj_height / (1 << cfg.row_gray_bits) if cfg.row_gray_bits else 0.0
+    )
     params = jnp.concatenate(
         [
             jnp.asarray(
@@ -174,10 +225,11 @@ def fused_decode_triangulate(
             ),
             jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]),
             cam.dist,
-            jnp.stack([proj.fx, proj.cx]),
+            jnp.stack([proj.fx, proj.fy, proj.cx, proj.cy]),
+            proj.dist,
             proj.R.reshape(-1),
             proj.center,
-            jnp.asarray([cfg.fringe_pitch], jnp.float32),
+            jnp.asarray([cfg.fringe_pitch, row_pitch], jnp.float32),
             jnp.asarray(z_bounds, jnp.float32),
         ]
     ).reshape(1, -1)
@@ -185,9 +237,9 @@ def fused_decode_triangulate(
     kern = partial(
         _kernel,
         bits=cfg.gray_bits,
+        row_bits=cfg.row_gray_bits,
         steps=cfg.phase_steps,
         tile_h=tile_h,
-        width=Wp,
         undistort_iters=undistort_iters,
     )
     grid = (Hp // tile_h,)
@@ -197,7 +249,10 @@ def fused_decode_triangulate(
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
     )
-    flops_per_px = 40 + 4 * cfg.gray_bits + 6 * cfg.phase_steps + 14 * undistort_iters
+    flops_per_px = (
+        40 + 4 * (cfg.gray_bits + cfg.row_gray_bits) + 6 * cfg.phase_steps
+        + 14 * undistort_iters * (2 if cfg.row_gray_bits else 1)
+    )
     pts, mask, qual, xp = pl.pallas_call(
         kern,
         grid=grid,

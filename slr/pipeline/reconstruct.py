@@ -72,10 +72,12 @@ def reconstruct_dense(
 ) -> ScanCloud:
     """Flagship fused path (config 3): Pallas kernel end-to-end.
 
-    When ``spatial_iters`` > 0 the quality-guided repair runs on the
-    absolute phase between decode and re-triangulation (only the repaired
-    x_p re-enters the plane solve — cheap VPU math, no second HBM pass
-    over the frames).
+    Column-only coding triangulates via the projector-column plane;
+    row+column coding uses the fused midpoint kernel. When
+    ``spatial_iters`` > 0 the quality-guided repair runs on the absolute
+    phase between decode and re-triangulation (only the repaired x_p
+    re-enters the plane solve — cheap VPU math, no second HBM pass over
+    the frames; column-plane re-triangulation only).
     """
     out = fused_decode_triangulate(
         frames, cam, proj, cfg, dec, z_bounds=(rec.min_depth, rec.max_depth)

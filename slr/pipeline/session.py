@@ -78,7 +78,7 @@ class Session:
         assert self.cam is not None, "calibrate or set_calibration first"
         frames = self.load_scan(idx)
         p = self.config.pattern
-        if fused and p.row_gray_bits == 0 and p.phase_steps > 0:
+        if fused and p.phase_steps > 0 and p.use_inverse:
             cloud = reconstruct_dense(
                 frames, self.cam, self.proj, p, self.config.decode,
                 self.config.reconstruct, spatial_iters=spatial_iters,

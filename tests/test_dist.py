@@ -140,3 +140,27 @@ def test_distributed_ba_on_2d_mesh():
     res = distributed_bundle_adjust(R0, t0, X0, obs_s, p, w, mesh, iters=8)
     assert float(res.rms) < 1e-4
     np.testing.assert_allclose(np.asarray(res.t), np.asarray(tt), atol=0.05)
+
+
+def test_sharded_unwrap_matches_unsharded():
+    """Halo-exchange unwrap == unsharded fixed-iteration unwrap when
+    repairs do not chain across a tile border within one sweep."""
+    from slr.codec.unwrap import spatial_quality_unwrap
+    from slr.dist import sharded_unwrap
+
+    rng = np.random.default_rng(2)
+    H, W = 64, 128
+    Phi = jnp.asarray(
+        np.linspace(0, 40, W)[None, :] + 0.05 * rng.normal(size=(H, W)),
+        jnp.float32,
+    )
+    bad = np.zeros((H, W), bool)
+    bad[rng.integers(1, H - 1, 50), rng.integers(1, W - 1, 50)] = True
+    Phi_n = jnp.where(jnp.asarray(bad), Phi + 2 * jnp.pi * 2, Phi)
+    q = jnp.asarray(np.where(bad, 0.05, 1.0), jnp.float32)
+    mask = jnp.ones((H, W), bool)
+
+    ref = spatial_quality_unwrap(Phi_n, q, mask, iters=6)
+    mesh = make_mesh(pixel_tiles=8, map_blocks=1)
+    out = sharded_unwrap(Phi_n, q, mask, mesh, iters=6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

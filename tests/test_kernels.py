@@ -99,3 +99,39 @@ def test_quality_unwrap_pallas_matches_jnp():
     a = spatial_quality_unwrap(Phi_n, q, mask, iters=6)
     b = quality_unwrap_pallas(Phi_n, q, mask, iters=6)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_kernel_midpoint_rowcol():
+    """Row+column coding -> fused midpoint kernel vs jnp reference and
+    ground truth (the 'fused midpoint/DLT kernel' of [B:5])."""
+    from slr.geom.triangulate import triangulate_rays
+
+    cam, proj = default_rig(cam_w=CAM_W, cam_h=CAM_H, proj_w=256, proj_h=192,
+                            baseline=150.0, toe_in_deg=14.0,
+                            proj_dist=[-0.08, 0.02, 0.001, -0.001, 0.0])
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                        row_gray_bits=6, phase_steps=4)
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=25.0)
+    scan = render_scan(cam, proj, depth, cfg)
+    dec = DecodeConfig()
+    out = fused_decode_triangulate(scan.frames, cam, proj, cfg, dec)
+
+    ref = decode_stack(scan.frames, cfg, dec)
+    v, u = jnp.meshgrid(jnp.arange(CAM_H, dtype=jnp.float32),
+                        jnp.arange(CAM_W, dtype=jnp.float32), indexing="ij")
+    pts_ref, gap = triangulate_rays(cam, proj, u, v, ref.x_p, ref.y_p)
+
+    both = (out.mask > 0.5) & ref.mask
+    assert float(jnp.mean(both.astype(jnp.float32))) > 0.3
+    pts_k = jnp.moveaxis(out.points, 0, -1)
+    perr = jnp.where(both[..., None], jnp.abs(pts_k - pts_ref), 0.0)
+    assert float(jnp.max(perr)) < 5e-2, float(jnp.max(perr))
+
+    # accuracy vs ground truth: row code quantizes y_p to half a row
+    # stripe, so the midpoint solve has a few-mm vertical uncertainty --
+    # but x is phase-coded, keeping lateral/depth error small
+    valid = both & scan.mask_true
+    err = jnp.where(valid, jnp.linalg.norm(pts_k - scan.points_true, axis=-1), 0.0)
+    n = jnp.sum(valid)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / n))
+    assert rms < 5.0, rms
