@@ -110,28 +110,34 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
         )
         y_p = (rb.astype(jnp.float32) + 0.5) * row_pitch
 
-    # --- N-step phase ---
-    S = jnp.zeros(white.shape, jnp.float32)
-    C = jnp.zeros(white.shape, jnp.float32)
-    base = 2 + 2 * bits + 2 * row_bits
-    for k in range(steps):
-        d = TWO_PI * k / steps
-        fk = f_ref[base + k]
-        S = S + fk * math.sin(d)
-        C = C + fk * math.cos(d)
-    phi = _atan2(S, C)
-    phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
-    modulation = (2.0 / steps) * jnp.sqrt(S * S + C * C)
-    mask = certain & (modulation > tau_mod)
+    # --- N-step phase (or Gray-only half-stripe centres when steps==0) ---
+    if steps:
+        S = jnp.zeros(white.shape, jnp.float32)
+        C = jnp.zeros(white.shape, jnp.float32)
+        base = 2 + 2 * bits + 2 * row_bits
+        for k in range(steps):
+            d = TWO_PI * k / steps
+            fk = f_ref[base + k]
+            S = S + fk * math.sin(d)
+            C = C + fk * math.cos(d)
+        phi = _atan2(S, C)
+        phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
+        modulation = (2.0 / steps) * jnp.sqrt(S * S + C * C)
+        mask = certain & (modulation > tau_mod)
 
-    # --- cyclic half-shifted temporal unwrap ---
-    n = 1 << bits
-    k_ord = b - (phi >= math.pi).astype(jnp.int32)
-    k_ord = jnp.where(k_ord < 0, k_ord + n, k_ord)
-    Phi = phi + TWO_PI * k_ord.astype(jnp.float32)
-    x_p = Phi * (pitch / TWO_PI)
-    w_coded = pitch * n
-    x_p = jnp.where(x_p > w_coded - 0.5, x_p - w_coded, x_p)
+        # --- cyclic half-shifted temporal unwrap ---
+        n = 1 << bits
+        k_ord = b - (phi >= math.pi).astype(jnp.int32)
+        k_ord = jnp.where(k_ord < 0, k_ord + n, k_ord)
+        Phi = phi + TWO_PI * k_ord.astype(jnp.float32)
+        x_p = Phi * (pitch / TWO_PI)
+        w_coded = pitch * n
+        x_p = jnp.where(x_p > w_coded - 0.5, x_p - w_coded, x_p)
+    else:
+        # config-1 Gray-only decode: stripe centre, aligned layout
+        x_p = (b.astype(jnp.float32) + 0.5) * pitch
+        modulation = contrast
+        mask = certain
 
     # --- camera ray (undistort); unnormalized d1 = (xn, yn, 1) so the
     # ray parameter equals camera depth z ---
@@ -202,9 +208,10 @@ def fused_decode_triangulate(
     tile_h: int = 32,
     undistort_iters: int = 8,
 ) -> FusedScanOut:
-    """One-pass scan reconstruction. Requires phase coding + inverses;
+    """One-pass scan reconstruction (requires inverse Gray patterns).
+    phase_steps == 0 -> Gray-only half-stripe decode (config 1);
     row_gray_bits == 0 -> column-plane mode, > 0 -> fused midpoint mode."""
-    assert cfg.phase_steps > 0 and cfg.use_inverse
+    assert cfg.use_inverse
     F, H, W = frames.shape
     assert F == cfg.num_frames, (F, cfg.num_frames)
 

@@ -108,10 +108,15 @@ class Session:
         return len(list((self.root / "clouds").glob("scan_*.npz")))
 
     # --- registration + fusion ---
-    def register(self, use_features: bool = True) -> RegisteredScans:
+    def register(self, use_features: bool = True,
+                 refine_ba: bool = True) -> RegisteredScans:
         clouds = [self.load_cloud(i) for i in range(self.cloud_count())]
         reg = register_scans(clouds, self.config.registration,
-                             use_features=use_features)
+                             use_features=use_features, cam=self.cam)
+        if refine_ba and len(clouds) > 2:
+            from slr.pipeline.registerfuse import ba_refine
+
+            reg = ba_refine(clouds, reg, iters=self.config.registration.pg_iters)
         save_stage(self.root / "registration.npz",
                    R=np.asarray(reg.R), t=np.asarray(reg.t),
                    icp_rms=np.asarray(reg.icp_rms),

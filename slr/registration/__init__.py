@@ -15,4 +15,5 @@ from slr.registration.normals import grid_normals
 from slr.registration.icp import icp_point_to_plane, ICPResult
 from slr.registration.features import fpfh_features, ransac_align
 from slr.registration.posegraph import pose_graph_optimize
-from slr.registration.voxel import voxel_downsample
+from slr.registration.voxel import voxel_downsample, build_voxel_hash, voxel_hash_nn
+from slr.registration.projective import icp_projective

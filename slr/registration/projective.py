@@ -1,0 +1,80 @@
+"""Projective-association ICP for organized scan clouds.
+
+Structured-light scans are organized (H, W) grids, so correspondences
+come for free: transform a source point into the target rig frame,
+project it through the target camera, and read the target's point/normal
+at that pixel — O(N) gathers instead of an O(N*M) search. This is both
+the fastest and usually the most accurate fine-alignment path between
+consecutive scans (dense correspondences, no sampling bias); the
+brute-force/voxel-hash NN ICP (slr.registration.icp / .voxel) remains for
+unorganized clouds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from slr.geom.camera import Camera, project
+from slr.geom.se3 import se3_compose, so3_exp
+from slr.registration.icp import ICPResult, _solve_point_to_plane
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def icp_projective(
+    src_pts,                 # (N,3) source points (source rig frame)
+    src_valid,               # (N,) bool
+    tgt_grid,                # (H,W,3) target organized cloud (target frame)
+    tgt_mask,                # (H,W) bool
+    tgt_normals,             # (H,W,3)
+    cam: Camera,             # the rig camera (same intrinsics both scans)
+    R0=None,
+    t0=None,
+    iters: int = 15,
+    max_corr_dist: float = 10.0,
+    min_normal_cos: float = 0.5,
+) -> ICPResult:
+    """Align src -> tgt with per-iteration projective data association."""
+    H, W = tgt_mask.shape
+    R0 = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
+    t0 = jnp.zeros(3, jnp.float32) if t0 is None else t0
+    max_d2 = max_corr_dist * max_corr_dist
+    src_nrm_valid = src_valid
+
+    def body(carry, _):
+        R, t = carry
+        moved = src_pts @ R.T + t
+        uv, z = project(cam, moved)
+        ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+        in_img = (
+            (uv[:, 0] >= 0) & (uv[:, 0] <= W - 1)
+            & (uv[:, 1] >= 0) & (uv[:, 1] <= H - 1) & (z > 0)
+        )
+        q = tgt_grid[vi, ui]
+        n = tgt_normals[vi, ui]
+        ok = in_img & tgt_mask[vi, ui] & src_nrm_valid
+        d2 = jnp.sum((moved - q) ** 2, axis=1)
+        w = (ok & (d2 < max_d2)).astype(jnp.float32)
+        # robust reweighting (same policy as the NN ICP)
+        e_pre = jnp.sum((moved - q) * n, axis=1)
+        abs_e = jnp.abs(e_pre)
+        big = jnp.where(w > 0, abs_e, jnp.nan)
+        delta = jnp.maximum(jnp.nanpercentile(big, 70.0), 1e-6)
+        w = w * jnp.minimum(1.0, delta / jnp.maximum(abs_e, 1e-12))
+        xi, e = _solve_point_to_plane(moved, q, n, w)
+        dR = so3_exp(xi[3:])
+        R_new, t_new = se3_compose(dR, xi[:3], R, t)
+        wsum = jnp.sum(w)
+        rms = jnp.where(
+            wsum > 1.0,
+            jnp.sqrt(jnp.sum(w * e * e) / jnp.maximum(wsum, 1e-9)),
+            jnp.inf,
+        )
+        inl = wsum / (jnp.sum(src_valid.astype(jnp.float32)) + 1e-9)
+        return (R_new, t_new), (rms, inl)
+
+    (R, t), (rms_h, inl_h) = jax.lax.scan(body, (R0, t0), None, length=iters)
+    return ICPResult(R=R, t=t, rms=rms_h[-1], inlier_frac=inl_h[-1])

@@ -180,3 +180,20 @@ def test_pattern_stack_gray_only_decode():
     err = jnp.abs(res.x_p - x_true)
     # gray-only: half-stripe quantization => max error 0.5 px at 8 bits/256
     assert float(jnp.max(jnp.where(res.mask, err, 0.0))) <= 0.5 + 1e-5
+
+
+def test_spatial_unwrap_repairs_blob():
+    """A 1-wide run of fringe-order errors is repaired end-inward over
+    successive strict-vote sweeps. (2x2+ blobs deadlock by design: each
+    blob pixel keeps 2 agreeing wrong neighbours, and relaxing the
+    3-vote threshold was measured to corrupt genuine depth edges.)"""
+    H, W = 24, 48
+    Phi_true = jnp.broadcast_to(
+        jnp.linspace(0, 30.0, W)[None, :], (H, W)
+    ).astype(jnp.float32)
+    bad = np.zeros((H, W), bool)
+    bad[10, 19:23] = True  # 1x4 run
+    Phi_n = jnp.where(jnp.asarray(bad), Phi_true + TWO_PI * 3, Phi_true)
+    q = jnp.ones((H, W), jnp.float32)
+    Phi_fix = spatial_quality_unwrap(Phi_n, q, jnp.ones((H, W), bool), iters=6)
+    assert float(jnp.max(jnp.abs(Phi_fix - Phi_true))) < 0.5

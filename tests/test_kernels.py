@@ -135,3 +135,22 @@ def test_fused_kernel_midpoint_rowcol():
     n = jnp.sum(valid)
     rms = float(jnp.sqrt(jnp.sum(err * err) / n))
     assert rms < 5.0, rms
+
+
+def test_fused_kernel_gray_only():
+    """Config-1: Gray-only fused path, half-stripe accuracy."""
+    cam, proj = default_rig(cam_w=CAM_W, cam_h=CAM_H, proj_w=256, proj_h=192,
+                            baseline=150.0, toe_in_deg=14.0)
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=8,
+                        phase_steps=0)
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=25.0)
+    scan = render_scan(cam, proj, depth, cfg)
+    out = fused_decode_triangulate(scan.frames, cam, proj, cfg, DecodeConfig())
+    ref = decode_stack(scan.frames, cfg, DecodeConfig())
+    both = (out.mask > 0.5) & ref.mask
+    xerr = jnp.where(both, jnp.abs(out.x_p - ref.x_p), 0.0)
+    assert float(jnp.max(xerr)) < 1e-3
+    valid = both & scan.mask_true
+    xerr_gt = jnp.where(valid, jnp.abs(out.x_p - scan.xp_true), 0.0)
+    pitch = cfg.proj_width / (1 << cfg.gray_bits)
+    assert float(jnp.max(xerr_gt)) < pitch

@@ -203,3 +203,18 @@ def test_ba_refine_distributed_matches():
     dist = ba_refine(clouds, reg, n_landmarks=256, mesh=mesh)
     np.testing.assert_allclose(np.asarray(dist.t), np.asarray(ref.t),
                                atol=1e-2)
+
+
+def test_config4_projective_icp():
+    """Dense projective-association ICP (organized grids, no NN search)
+    should match or beat the sampled NN path on pose recovery."""
+    cam, cfg, clouds, poses, _ = _render_multi(S=3)
+    reg = register_scans(clouds, RegistrationConfig(icp_sample_points=2048),
+                         use_features=False, cam=cam)
+    for s, (R_m, t_m) in enumerate(poses):
+        rot_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(reg.R[s]).T @ np.asarray(R_m)) - 1) / 2,
+            -1, 1)))
+        t_err = float(jnp.linalg.norm(reg.t[s] - t_m))
+        assert rot_err < 0.3, (s, rot_err)
+        assert t_err < 1.0, (s, t_err)
