@@ -156,6 +156,74 @@ def cmd_demo(args):
     cmd_fuse(ns(session=args.out))
 
 
+def cmd_import_scan(args):
+    """Ingest a reference-style scan folder (one image per pattern) into
+    the session — the real-data entry point replacing camera capture."""
+    from slr.io import load_scan_folder
+    from slr.pipeline import Session
+
+    frames = load_scan_folder(args.folder)
+    sess = Session(args.session)
+    idx = sess.add_scan(frames)
+    print(f"imported {frames.shape[0]} frames "
+          f"({frames.shape[1]}x{frames.shape[2]}) as scan {idx}")
+
+
+def cmd_export_scan(args):
+    from slr.io import save_scan_folder
+    from slr.pipeline import Session
+
+    sess = Session(args.session)
+    frames = sess.load_scan(args.index)
+    paths = save_scan_folder(args.folder, np.asarray(frames), fmt=args.format)
+    print(f"wrote {len(paths)} frames -> {args.folder}")
+
+
+def cmd_export_calib(args):
+    """Write the session calibration as cv::FileStorage YAML (the
+    reference's persistence format) for interop with OpenCV tooling."""
+    from slr.io import save_calibration_opencv
+    from slr.pipeline import Session
+
+    sess = Session(args.session)
+    if sess.cam is None:
+        raise SystemExit("session has no calibration — run calibrate first")
+    save_calibration_opencv(args.out, sess.cam, sess.proj, sess.calib_meta)
+    print(f"wrote OpenCV YAML calibration -> {args.out}")
+
+
+def cmd_import_calib(args):
+    from slr.io import load_calibration_opencv
+    from slr.pipeline import Session
+
+    cam, proj, meta = load_calibration_opencv(args.yaml)
+    sess = Session(args.session)
+    sess.set_calibration(cam, proj, dict(meta, source="opencv_yaml"))
+    print(f"imported calibration from {args.yaml} -> "
+          f"{args.session}/calibration.json")
+
+
+def cmd_view(args):
+    """Render a point-cloud preview PNG/PGM — the build's replacement for
+    the reference's OpenGL viewer widget (device-side splatting)."""
+    from slr.io import read_ply
+    from slr.pipeline import Session
+    from slr.pipeline.viewer import render_turntable
+
+    sess = Session(args.session)
+    if args.cloud == "fused":
+        pts, cols, _ = read_ply(f"{args.session}/fused.ply")
+    else:
+        c = sess.load_cloud(int(args.cloud))
+        m = np.asarray(c.mask).astype(bool)
+        pts = np.asarray(c.points)[m]
+        cols = np.repeat(np.asarray(c.colors)[m][:, None], 3, -1)
+    out = args.out or f"{args.session}/preview"
+    outs = render_turntable(pts, cols, out, frames=args.frames,
+                            size=args.size)
+    print(f"wrote {len(outs)} view(s): {outs[0]}{' ...' if len(outs)>1 else ''}")
+
+
 def cmd_bench(args):
     import subprocess
     raise SystemExit(subprocess.call([sys.executable, "bench.py"]))
@@ -199,6 +267,37 @@ def main(argv=None):
     p.add_argument("--scans", type=int, default=3)
     p.add_argument("--no-features", action="store_true")
     p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("import-scan", help="ingest a scan image folder")
+    p.add_argument("--session", required=True)
+    p.add_argument("--folder", required=True)
+    p.set_defaults(fn=cmd_import_scan)
+
+    p = sub.add_parser("export-scan", help="write a scan as an image folder")
+    p.add_argument("--session", required=True)
+    p.add_argument("--index", type=int, default=0)
+    p.add_argument("--folder", required=True)
+    p.add_argument("--format", default="pgm", choices=["pgm", "png"])
+    p.set_defaults(fn=cmd_export_scan)
+
+    p = sub.add_parser("export-calib", help="export cv::FileStorage YAML")
+    p.add_argument("--session", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_export_calib)
+
+    p = sub.add_parser("import-calib", help="import cv::FileStorage YAML")
+    p.add_argument("--session", required=True)
+    p.add_argument("--yaml", required=True)
+    p.set_defaults(fn=cmd_import_calib)
+
+    p = sub.add_parser("view", help="render point-cloud preview images")
+    p.add_argument("--session", required=True)
+    p.add_argument("--cloud", default="fused",
+                   help="'fused' or a scan index")
+    p.add_argument("--out", default=None, help="output path prefix")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--size", type=int, default=640)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.set_defaults(fn=cmd_bench)

@@ -50,13 +50,15 @@ class Session:
             save_config(self.config, cfg_path)
         self.cam: Optional[Camera] = None
         self.proj: Optional[Camera] = None
+        self.calib_meta: dict = {}
         calib = self.root / "calibration.json"
         if calib.exists():
-            self.cam, self.proj, _ = load_calibration(calib)
+            self.cam, self.proj, self.calib_meta = load_calibration(calib)
 
     # --- calibration ---
     def set_calibration(self, cam: Camera, proj: Camera, meta=None):
         self.cam, self.proj = cam, proj
+        self.calib_meta = meta or {}
         save_calibration(self.root / "calibration.json", cam, proj, meta)
 
     # --- scans ---
