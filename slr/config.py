@@ -84,6 +84,10 @@ class ReconstructConfig:
     min_depth: float = 1.0        # z bounds filter, scene units
     max_depth: float = 1e4
     max_points: int = 1 << 20     # fixed-capacity cloud buffer under jit
+    # statistical outlier removal on the reconstructed cloud (0 = off)
+    sor_k: int = 0                # neighbors per point for the k-NN mean
+    sor_std_ratio: float = 2.0    # keep md <= mean + ratio * std
+    sor_voxel: float = 3.0        # voxel size for the hash (>= k-NN reach)
 
 
 @dataclass(frozen=True)

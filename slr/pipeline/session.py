@@ -90,6 +90,16 @@ class Session:
                 frames, self.cam, self.proj, p, self.config.decode,
                 self.config.reconstruct,
             )
+        rc = self.config.reconstruct
+        if rc.sor_k > 0:
+            from slr.registration import statistical_outlier_removal
+
+            H, W = cloud.mask.shape
+            keep = statistical_outlier_removal(
+                cloud.points.reshape(-1, 3), cloud.mask.reshape(-1),
+                rc.sor_voxel, k=rc.sor_k, std_ratio=rc.sor_std_ratio,
+            ).reshape(H, W)
+            cloud = cloud._replace(mask=cloud.mask & keep)
         save_stage(
             self.root / "clouds" / f"scan_{idx:03d}.npz",
             points=np.asarray(cloud.points), mask=np.asarray(cloud.mask),

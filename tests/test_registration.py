@@ -200,3 +200,82 @@ def test_voxel_hash_nn_vs_scipy():
         np.abs(np.sqrt(np.asarray(d2)) - d_ref) < 1e-3
     )
     assert agree[found].mean() > 0.97, agree[found].mean()
+
+
+# ---------------------------------------------------------------------------
+# Outlier filters (slr/registration/filters.py) vs scipy oracle
+# ---------------------------------------------------------------------------
+
+def test_knn_mean_distance_vs_scipy():
+    from scipy.spatial import cKDTree
+    from slr.registration import knn_mean_distance
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 50, (800, 3)).astype(np.float32)
+    valid = np.ones(800, bool)
+    k = 6
+    # voxel > typical 6-NN distance (~6.1 here) so the true k-NN live in
+    # the 27-neighborhood; cap 32 >> expected voxel occupancy (~4)
+    vox = 8.0
+    md = np.asarray(knn_mean_distance(jnp.asarray(pts), jnp.asarray(valid),
+                                      vox, k=k, chunk=256, bucket_cap=32))
+    d, _ = cKDTree(pts).query(pts, k=k + 1)  # includes self at col 0
+    md_ref = d[:, 1:].mean(1)
+    # exact wherever the k-th true NN is within the documented voxel
+    # reach; elsewhere (sparse corners) the estimate only overestimates
+    guaranteed = d[:, k] < vox
+    assert guaranteed.mean() > 0.85
+    np.testing.assert_allclose(md[guaranteed], md_ref[guaranteed],
+                               rtol=2e-4, atol=1e-4)
+    assert np.all(md[~guaranteed] >= md_ref[~guaranteed] - 1e-4)
+
+
+def test_statistical_outlier_removal_plants():
+    from slr.registration import statistical_outlier_removal
+
+    rng = np.random.default_rng(12)
+    # dense plane patch + 20 far-flung outliers
+    g = np.linspace(0, 40, 40)
+    xx, yy = np.meshgrid(g, g)
+    # jittered grid: a perfect lattice has ~zero k-NN variance and SOR
+    # would legitimately clip its edge rows
+    plane = np.stack([xx + 0.25 * rng.normal(size=xx.shape),
+                      yy + 0.25 * rng.normal(size=xx.shape),
+                      0.02 * rng.normal(size=xx.shape)], -1)
+    plane = plane.reshape(-1, 3).astype(np.float32)
+    outl = rng.uniform(-200, 200, (20, 3)).astype(np.float32)
+    outl[:, 2] += 500.0  # far off the plane
+    pts = np.concatenate([plane, outl])
+    valid = np.ones(len(pts), bool)
+    keep = np.asarray(statistical_outlier_removal(
+        jnp.asarray(pts), jnp.asarray(valid), 4.0, k=6, std_ratio=2.0,
+        chunk=512))
+    assert keep[:len(plane)].mean() > 0.93     # plane survives
+    assert keep[len(plane):].sum() == 0        # all planted outliers gone
+
+
+def test_radius_outlier_removal_counts():
+    from scipy.spatial import cKDTree
+    from slr.registration import radius_outlier_removal
+
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(0, 30, (600, 3)).astype(np.float32)
+    valid = np.ones(600, bool)
+    r, mn = 3.0, 5
+    keep = np.asarray(radius_outlier_removal(
+        jnp.asarray(pts), jnp.asarray(valid), r, min_neighbors=mn,
+        chunk=256))
+    counts = np.array([len(cKDTree(pts).query_ball_point(p, r)) - 1
+                       for p in pts])
+    np.testing.assert_array_equal(keep, counts >= mn)
+
+
+def test_filters_respect_valid_mask():
+    from slr.registration import statistical_outlier_removal
+
+    rng = np.random.default_rng(14)
+    pts = rng.uniform(0, 10, (300, 3)).astype(np.float32)
+    valid = rng.uniform(size=300) > 0.3
+    keep = np.asarray(statistical_outlier_removal(
+        jnp.asarray(pts), jnp.asarray(valid), 5.0, k=4, chunk=128))
+    assert not np.any(keep & ~valid)
