@@ -142,6 +142,9 @@ def cmd_fuse(args):
     sess = Session(args.session)
     out = sess.fuse()
     print(f"fused model -> {out}")
+    if getattr(args, "mesh", False):
+        out = sess.fuse_mesh(voxel=args.voxel)
+        print(f"fused TSDF mesh -> {out}")
 
 
 def cmd_demo(args):
@@ -259,6 +262,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_register)
 
     p = sub.add_parser("fuse", help="merge registered scans into one model")
+    p.add_argument("--mesh", action="store_true",
+                   help="also TSDF-fuse and export a triangle mesh (OBJ)")
+    p.add_argument("--voxel", type=float, default=2.0,
+                   help="TSDF voxel size (mm)")
     p.add_argument("--session", required=True)
     p.set_defaults(fn=cmd_fuse)
 

@@ -85,7 +85,13 @@ def _slices(cfg: PatternConfig):
 
 
 def decode_stack(frames, cfg: PatternConfig, dec: DecodeConfig) -> DecodeResult:
-    """Captured (F,H,W) stack -> sub-pixel projector coords + mask + quality."""
+    """Captured (F,H,W) stack -> sub-pixel projector coords + mask + quality.
+
+    Accepts float32 frames in [0,1] or raw integer camera frames (uint8/
+    uint16), which are normalized to [0,1] so thresholds keep one meaning.
+    """
+    if jnp.issubdtype(frames.dtype, jnp.integer):
+        frames = frames.astype(jnp.float32) / float(jnp.iinfo(frames.dtype).max)
     s = _slices(cfg)
     white, black = frames[s["white"]], frames[s["black"]]
 

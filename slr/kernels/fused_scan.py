@@ -60,12 +60,12 @@ def _undistort(xd, yd, k1, k2, p1, p2, k3, iters):
     return xn, yn
 
 
-def _gray_decode_block(f_ref, first: int, bits: int, tau_white, certain):
+def _gray_decode_block(ld, first: int, bits: int, tau_white, certain):
     """MSB-first Gray bits at frames [first, first+bits) with inverses at
     [first+bits, first+2*bits); returns (binary code, updated certainty)."""
-    g = jnp.zeros(f_ref[0].shape, jnp.int32)
+    g = jnp.zeros(ld(0).shape, jnp.int32)
     for i in range(bits):
-        diff = f_ref[first + i] - f_ref[first + bits + i]
+        diff = ld(first + i) - ld(first + bits + i)
         g = (g << 1) | (diff > 0.0).astype(jnp.int32)
         certain = certain & (jnp.abs(diff) > tau_white)
     b = g
@@ -78,7 +78,16 @@ def _gray_decode_block(f_ref, first: int, bits: int, tau_white, certain):
 
 def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
             *, bits: int, row_bits: int, steps: int, tile_h: int,
-            undistort_iters: int):
+            undistort_iters: int, scale: float):
+    # Frame loader: integer (8-bit camera) stacks are normalized to [0,1]
+    # in-register — the HBM read is 1 byte/px instead of 4 and all
+    # downstream math/thresholds stay in normalized units.
+    if scale != 1.0:
+        def ld(i):
+            return f_ref[i].astype(jnp.int32).astype(jnp.float32) * scale
+    else:
+        def ld(i):
+            return f_ref[i]
     p = params_ref
     tau_black, tau_white, tau_mod = p[0, 0], p[0, 1], p[0, 2]
     fx, fy, cx, cy = p[0, 3], p[0, 4], p[0, 5], p[0, 6]
@@ -94,19 +103,19 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     row_pitch = p[0, 34]
     zmin, zmax = p[0, 35], p[0, 36]
 
-    white = f_ref[0]
-    black = f_ref[1]
+    white = ld(0)
+    black = ld(1)
     contrast = white - black
     certain = contrast > tau_black
 
     # --- column Gray decode ---
-    b, certain = _gray_decode_block(f_ref, 2, bits, tau_white, certain)
+    b, certain = _gray_decode_block(ld, 2, bits, tau_white, certain)
 
     # --- optional row Gray decode (aligned layout) ---
     y_p = None
     if row_bits:
         rb, certain = _gray_decode_block(
-            f_ref, 2 + 2 * bits, row_bits, tau_white, certain
+            ld, 2 + 2 * bits, row_bits, tau_white, certain
         )
         y_p = (rb.astype(jnp.float32) + 0.5) * row_pitch
 
@@ -117,7 +126,7 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
         base = 2 + 2 * bits + 2 * row_bits
         for k in range(steps):
             d = TWO_PI * k / steps
-            fk = f_ref[base + k]
+            fk = ld(base + k)
             S = S + fk * math.sin(d)
             C = C + fk * math.cos(d)
         phi = _atan2(S, C)
@@ -210,10 +219,20 @@ def fused_decode_triangulate(
 ) -> FusedScanOut:
     """One-pass scan reconstruction (requires inverse Gray patterns).
     phase_steps == 0 -> Gray-only half-stripe decode (config 1);
-    row_gray_bits == 0 -> column-plane mode, > 0 -> fused midpoint mode."""
+    row_gray_bits == 0 -> column-plane mode, > 0 -> fused midpoint mode.
+
+    ``frames`` may be float32 in [0,1] or uint8 (raw 8-bit camera data);
+    the uint8 path reads 1 byte/px from HBM and normalizes in-register,
+    cutting the kernel's HBM traffic ~4x."""
     assert cfg.use_inverse
     F, H, W = frames.shape
     assert F == cfg.num_frames, (F, cfg.num_frames)
+    if jnp.issubdtype(frames.dtype, jnp.integer):
+        scale = 1.0 / float(jnp.iinfo(frames.dtype).max)
+        in_bytes = frames.dtype.itemsize
+    else:
+        scale = 1.0
+        in_bytes = 4
 
     # pad W to lanes, H to tile
     Wp = round_up(W, 128)
@@ -248,6 +267,7 @@ def fused_decode_triangulate(
         steps=cfg.phase_steps,
         tile_h=tile_h,
         undistort_iters=undistort_iters,
+        scale=scale,
     )
     grid = (Hp // tile_h,)
     out_shape = (
@@ -282,7 +302,7 @@ def fused_decode_triangulate(
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_px * Hp * Wp,
-            bytes_accessed=(F + 6) * Hp * Wp * 4,
+            bytes_accessed=(F * in_bytes + 6 * 4) * Hp * Wp,
             transcendentals=3 * Hp * Wp,
         ),
         interpret=use_interpret(),

@@ -24,6 +24,14 @@ from slr.kernels import fused_decode_triangulate, quality_unwrap_pallas
 TWO_PI = 2.0 * jnp.pi
 
 
+def _white_color(frames):
+    """White-frame intensity in [0,1] regardless of the stack dtype."""
+    w = frames[0]
+    if jnp.issubdtype(w.dtype, jnp.integer):
+        return w.astype(jnp.float32) / float(jnp.iinfo(w.dtype).max)
+    return w
+
+
 class ScanCloud(NamedTuple):
     """Organized point cloud: one entry per camera pixel (fixed shape)."""
     points: jnp.ndarray     # (H, W, 3)
@@ -55,7 +63,7 @@ def reconstruct_scan(
     mask = res.mask & (depth > rec.min_depth) & (depth < rec.max_depth)
     pts = jnp.where(mask[..., None], pts, 0.0)
     return ScanCloud(
-        points=pts, mask=mask, colors=frames[0], quality=res.quality,
+        points=pts, mask=mask, colors=_white_color(frames), quality=res.quality,
         x_p=res.x_p,
     )
 
@@ -99,7 +107,7 @@ def reconstruct_dense(
         mask = mask | (changed & ok2)
         x_p = jnp.where(changed, x_p2, x_p)
     return ScanCloud(
-        points=pts, mask=mask, colors=frames[0], quality=out.quality, x_p=x_p,
+        points=pts, mask=mask, colors=_white_color(frames), quality=out.quality, x_p=x_p,
     )
 
 

@@ -142,6 +142,22 @@ class Session:
             icp_rms=jnp.asarray(d["icp_rms"]), pg_rms=jnp.asarray(d["pg_rms"]),
         )
 
+    def fuse_mesh(self, voxel: float = 2.0, size_vox=(128, 128, 128)) -> str:
+        """TSDF-fuse all registered scans and export the extracted surface
+        (marching tetrahedra) as OBJ — the volumetric upgrade over the
+        point-level ``fuse`` (SURVEY.md component 17)."""
+        from slr.pipeline.tsdf import fuse_tsdf, write_tsdf_mesh_obj
+
+        clouds = [self.load_cloud(i) for i in range(self.cloud_count())]
+        reg = self.load_registration()
+        vol = fuse_tsdf(clouds, self.cam, reg.R, reg.t,
+                        size_vox=size_vox, voxel=voxel)
+        out = self.root / "fused_mesh.obj"
+        nv, nf = write_tsdf_mesh_obj(out, vol)
+        from slr.observability import log_event
+        log_event("fuse_mesh", n_verts=nv, n_faces=nf, voxel=voxel)
+        return str(out)
+
     def fuse(self, capacity: int = 1 << 20) -> str:
         clouds = [self.load_cloud(i) for i in range(self.cloud_count())]
         reg = self.load_registration()

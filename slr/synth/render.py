@@ -103,6 +103,14 @@ def _bilinear_sample(img, x, y):
     )
 
 
+def quantize_frames(frames, dtype=jnp.uint8):
+    """Quantize rendered [0,1] frames to raw sensor integers (8-bit ADC by
+    default) — the realistic camera output format; the fused kernel and
+    decode_stack both accept these directly (1 byte/px HBM reads)."""
+    m = float(jnp.iinfo(dtype).max)
+    return jnp.clip(jnp.round(frames * m), 0, m).astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("cfg", "ambient", "noise_std"))
 def render_scan(
     cam: Camera,

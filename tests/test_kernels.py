@@ -84,6 +84,44 @@ def test_fused_kernel_nonaligned_sizes():
     assert float(jnp.sqrt(jnp.sum(err * err) / n)) < 0.5
 
 
+def test_fused_kernel_uint8_frames():
+    """Raw 8-bit camera frames: the kernel's in-register normalization
+    must match the f32 path on the quantized stack exactly, and stay
+    sub-mm vs ground truth (8-bit ADC quantization is ~0.001 intensity
+    noise, well under the 0.005 sensor noise already modeled)."""
+    from slr.synth.render import quantize_frames
+
+    cam, proj, cfg, scan = _setup(noise=0.005)
+    dec = DecodeConfig()
+    f8 = quantize_frames(scan.frames)
+    assert f8.dtype == jnp.uint8
+    out8 = fused_decode_triangulate(f8, cam, proj, cfg, dec)
+    # f32 path fed the same dequantized values -> bit-identical decode
+    outf = fused_decode_triangulate(
+        f8.astype(jnp.float32) / 255.0, cam, proj, cfg, dec
+    )
+    # *(1/255) in-kernel vs /255.0 outside differ by <= 1 ulp; that can
+    # flip a Gray bit / fringe order on pixels sitting exactly on a code
+    # edge, so compare on mutually valid pixels and allow rare flips
+    md = jnp.mean(((out8.mask > 0.5) ^ (outf.mask > 0.5)).astype(jnp.float32))
+    assert float(md) < 1e-3
+    both8 = (out8.mask > 0.5) & (outf.mask > 0.5)
+    xd = jnp.where(both8, jnp.abs(out8.x_p - outf.x_p), 0.0)
+    frac_big = jnp.sum((xd > 1e-3).astype(jnp.float32)) / jnp.sum(both8)
+    assert float(frac_big) < 1e-3, float(frac_big)
+    # accuracy vs ground truth unchanged by quantization
+    valid = (out8.mask > 0.5) & scan.mask_true
+    pts = jnp.moveaxis(out8.points, 0, -1)
+    err = jnp.where(valid, jnp.linalg.norm(pts - scan.points_true, axis=-1), 0.0)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / jnp.sum(valid)))
+    assert rms < 0.5, rms
+    # pure-JAX decode path accepts integer stacks too
+    ref = decode_stack(f8, cfg, dec)
+    both = (out8.mask > 0.5) & ref.mask
+    xerr = jnp.where(both, jnp.abs(out8.x_p - ref.x_p), 0.0)
+    assert float(jnp.max(xerr)) < 1e-3
+
+
 def test_quality_unwrap_pallas_matches_jnp():
     rng = np.random.default_rng(0)
     H, W = 64, 96
