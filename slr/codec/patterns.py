@@ -84,14 +84,21 @@ def _slices(cfg: PatternConfig):
     return s
 
 
-def decode_stack(frames, cfg: PatternConfig, dec: DecodeConfig) -> DecodeResult:
+def decode_stack(frames, cfg: PatternConfig, dec: DecodeConfig,
+                 bit_depth: int | None = None) -> DecodeResult:
     """Captured (F,H,W) stack -> sub-pixel projector coords + mask + quality.
 
-    Accepts float32 frames in [0,1] or raw integer camera frames (uint8/
-    uint16), which are normalized to [0,1] so thresholds keep one meaning.
+    Accepts float32 frames in [0,1] or raw integer camera frames, which
+    are normalized to [0,1] so thresholds keep one meaning. ``bit_depth``
+    gives the true ADC range for sensors delivering fewer bits than their
+    container (e.g. 10/12-bit data in uint16: pass bit_depth=10/12 —
+    dividing by the container max would scale values 16-64x too small and
+    break every threshold); default is the container's full range.
     """
     if jnp.issubdtype(frames.dtype, jnp.integer):
-        frames = frames.astype(jnp.float32) / float(jnp.iinfo(frames.dtype).max)
+        m = ((1 << bit_depth) - 1 if bit_depth is not None
+             else jnp.iinfo(frames.dtype).max)
+        frames = frames.astype(jnp.float32) / float(m)
     s = _slices(cfg)
     white, black = frames[s["white"]], frames[s["black"]]
 

@@ -6,7 +6,8 @@ so recovery from a lost host is: reload the surviving fragments from the
 stage checkpoint, re-shard onto the remaining mesh, and resume pose-graph
 iteration from the last checkpointed poses. This module provides the
 re-shard + resume step; the fault-injection test
-(tests/test_recovery.py) drops a block mid-run and asserts convergence.
+(tests/test_aux.py::test_ba_elastic_recovery) drops a block
+mid-run and asserts convergence.
 """
 
 from __future__ import annotations

@@ -102,6 +102,7 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     pitch = p[0, 33]
     row_pitch = p[0, 34]
     zmin, zmax = p[0, 35], p[0, 36]
+    row_off = p[0, 37]   # global row of this block's first row (sharding)
 
     white = ld(0)
     black = ld(1)
@@ -154,7 +155,7 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     # tpu.iota only produces integers; cast to f32 after
     rows = jax.lax.broadcasted_iota(jnp.int32, white.shape, 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, white.shape, 1).astype(jnp.float32)
-    v_pix = rows + i_tile * tile_h
+    v_pix = rows + i_tile * tile_h + row_off
     u_pix = cols
     xn, yn = _undistort((u_pix - cx) / fx, (v_pix - cy) / fy,
                         k1, k2, p1, p2, k3, undistort_iters)
@@ -206,7 +207,7 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
 
 
 @partial(jax.jit, static_argnames=("cfg", "dec", "z_bounds", "tile_h",
-                                   "undistort_iters"))
+                                   "undistort_iters", "bit_depth"))
 def fused_decode_triangulate(
     frames,                  # (F, H, W) f32 captured stack
     cam: Camera,
@@ -216,6 +217,8 @@ def fused_decode_triangulate(
     z_bounds=(1.0, 1e4),
     tile_h: int = 32,
     undistort_iters: int = 8,
+    bit_depth: int | None = None,
+    row_offset=0.0,          # global row of frames[…,0,:] (pixel-tile shards)
 ) -> FusedScanOut:
     """One-pass scan reconstruction (requires inverse Gray patterns).
     phase_steps == 0 -> Gray-only half-stripe decode (config 1);
@@ -223,12 +226,16 @@ def fused_decode_triangulate(
 
     ``frames`` may be float32 in [0,1] or uint8 (raw 8-bit camera data);
     the uint8 path reads 1 byte/px from HBM and normalizes in-register,
-    cutting the kernel's HBM traffic ~4x."""
+    cutting the kernel's HBM traffic ~4x. ``bit_depth`` overrides the
+    ADC range for sensors delivering fewer bits than their integer
+    container (10/12-bit data in uint16), as in decode_stack."""
     assert cfg.use_inverse
     F, H, W = frames.shape
     assert F == cfg.num_frames, (F, cfg.num_frames)
     if jnp.issubdtype(frames.dtype, jnp.integer):
-        scale = 1.0 / float(jnp.iinfo(frames.dtype).max)
+        m = ((1 << bit_depth) - 1 if bit_depth is not None
+             else jnp.iinfo(frames.dtype).max)
+        scale = 1.0 / float(m)
         in_bytes = frames.dtype.itemsize
     else:
         scale = 1.0
@@ -257,6 +264,7 @@ def fused_decode_triangulate(
             proj.center,
             jnp.asarray([cfg.fringe_pitch, row_pitch], jnp.float32),
             jnp.asarray(z_bounds, jnp.float32),
+            jnp.asarray(row_offset, jnp.float32).reshape(1),
         ]
     ).reshape(1, -1)
 

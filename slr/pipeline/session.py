@@ -148,6 +148,7 @@ class Session:
         point-level ``fuse`` (SURVEY.md component 17)."""
         from slr.pipeline.tsdf import fuse_tsdf, write_tsdf_mesh_obj
 
+        assert self.cam is not None, "calibrate or set_calibration first"
         clouds = [self.load_cloud(i) for i in range(self.cloud_count())]
         reg = self.load_registration()
         vol = fuse_tsdf(clouds, self.cam, reg.R, reg.t,

@@ -66,11 +66,15 @@ def _voxel_centers(vol: TSDFVolume):
     return vol.origin + vol.voxel * jnp.stack([x, y, z], axis=-1)
 
 
-def _bilinear(img, valid, u, v):
+def _bilinear(img, valid, u, v, max_spread=None):
     """Valid-aware bilinear sample of (H, W) img at float pixel coords.
 
     Returns (value, ok): a sample is ok when all four support pixels are
     valid and the coordinate is in bounds (no smearing across holes).
+    When ``max_spread`` is given, samples whose four support values span
+    more than it are rejected too — at silhouette edges where foreground
+    and background are both valid, depth would otherwise interpolate
+    across the jump and integrate phantom surface into the TSDF.
     """
     H, W = img.shape
     inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
@@ -86,11 +90,16 @@ def _bilinear(img, valid, u, v):
     ok = inb & (
         (val[y0, x0] * val[y0, x1] * val[y1, x0] * val[y1, x1]) > 0.5
     )
+    s00, s01, s10, s11 = img[y0, x0], img[y0, x1], img[y1, x0], img[y1, x1]
+    if max_spread is not None:
+        hi = jnp.maximum(jnp.maximum(s00, s01), jnp.maximum(s10, s11))
+        lo = jnp.minimum(jnp.minimum(s00, s01), jnp.minimum(s10, s11))
+        ok = ok & ((hi - lo) <= max_spread)
     s = (
-        img[y0, x0] * (1 - fx) * (1 - fy)
-        + img[y0, x1] * fx * (1 - fy)
-        + img[y1, x0] * (1 - fx) * fy
-        + img[y1, x1] * fx * fy
+        s00 * (1 - fx) * (1 - fy)
+        + s01 * fx * (1 - fy)
+        + s10 * (1 - fx) * fy
+        + s11 * fx * fy
     )
     return s, ok
 
@@ -110,7 +119,8 @@ def tsdf_integrate(vol: TSDFVolume, cloud: ScanCloud, cam: Camera,
     pts_c = jnp.einsum("ji,...j->...i", R_s, pts_w - t_s)
     uv, z_vox = project(cam, pts_c)                    # cam extrinsics: scan frame
     depth_map = cloud.points[..., 2]
-    depth, ok = _bilinear(depth_map, cloud.mask, uv[..., 0], uv[..., 1])
+    depth, ok = _bilinear(depth_map, cloud.mask, uv[..., 0], uv[..., 1],
+                          max_spread=vol.trunc)
     col, _ = _bilinear(cloud.colors, cloud.mask, uv[..., 0], uv[..., 1])
 
     sdf = depth - z_vox                                # + in front of surface
@@ -142,13 +152,31 @@ def fuse_tsdf(clouds: List[ScanCloud], cam: Camera, Rs, ts,
     """
     if origin is None:
         p0 = np.asarray(clouds[0].points)[np.asarray(clouds[0].mask)]
+        if p0.shape[0] == 0:
+            raise ValueError(
+                "fuse_tsdf: anchor scan has no valid points — cannot "
+                "auto-place the volume (pass origin= explicitly)"
+            )
         lo = p0.min(axis=0) - margin
         hi = p0.max(axis=0) + margin
         D, H, W = size_vox
         span = hi - lo
         need = np.array([W, H, D], np.float32) * voxel
-        lo = lo - np.maximum(need - span, 0.0) / 2.0
-        origin = lo
+        if np.any(span > need):
+            # grow the voxel edge so the whole anchor scan fits instead of
+            # silently cropping the model at the volume boundary
+            grow = float(np.max(span / need))
+            voxel = voxel * grow
+            need = need * grow
+            import warnings
+
+            warnings.warn(
+                f"fuse_tsdf: scene span {span} exceeds the "
+                f"{size_vox} x {voxel / grow:.3g} volume; growing voxel "
+                f"size to {voxel:.3g} to fit",
+                stacklevel=2,
+            )
+        origin = lo - np.maximum(need - span, 0.0) / 2.0
     vol = make_volume(origin, size_vox=size_vox, voxel=voxel)
     for s, c in enumerate(clouds):
         vol = tsdf_integrate(vol, c, cam, jnp.asarray(Rs[s]), jnp.asarray(ts[s]))
@@ -182,7 +210,9 @@ _TRI_TABLE[0b1001] = [[0, 1, 5], [0, 5, 4]]
 _TRI_TABLE[0b0110] = [[0, 4, 5], [0, 5, 1]]
 _TRI_TABLE[0b1010] = [[0, 2, 5], [0, 5, 3]]
 _TRI_TABLE[0b1100] = [[1, 3, 4], [1, 4, 2]]
-_TRI_TABLE[0b0111] = [[2, 5, 4], [-1, -1, -1]]
+# 0b0111 is the complement of 0b1000 and must carry the reversed winding
+# (same three edge points, opposite surface side): [2,4,5], not [2,5,4].
+_TRI_TABLE[0b0111] = [[2, 4, 5], [-1, -1, -1]]
 _TRI_TABLE[0b1011] = [[1, 5, 3], [-1, -1, -1]]
 _TRI_TABLE[0b1101] = [[0, 3, 4], [-1, -1, -1]]
 _TRI_TABLE[0b1110] = [[0, 2, 1], [-1, -1, -1]]

@@ -24,24 +24,25 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from slr.registration.voxel import build_voxel_hash
+from slr.registration.voxel import _INVALID_VID, _pack_vid, build_voxel_hash
 
 _NBRS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
          for dz in (-1, 0, 1)]
 
 
-def _candidate_d2(q, qidx, points, table, row_ids, voxel_size, bucket_cap):
+def _candidate_d2(q, qidx, points, table, row_ids, lo, voxel_size,
+                  bucket_cap):
     """(Q,3) queries -> (Q, 27*cap) squared distances to voxel-hash
     candidates; self-matches and empty slots are +inf."""
     vq = jnp.floor(q / voxel_size).astype(jnp.int32)
+    ones = jnp.ones((q.shape[0],), bool)
     outs = []
     for dx, dy, dz in _NBRS:
         vv = vq + jnp.array([dx, dy, dz], jnp.int32)
-        vid = ((vv[:, 0] & 0x3FF) | ((vv[:, 1] & 0x3FF) << 10)
-               | ((vv[:, 2] & 0x3FF) << 20))
+        vid = _pack_vid(vv, lo, ones)
         row = jnp.searchsorted(row_ids, vid)
         row = jnp.clip(row, 0, row_ids.shape[0] - 1)
-        hit = row_ids[row] == vid
+        hit = (row_ids[row] == vid) & (vid != _INVALID_VID)
         cand = jnp.where(hit[:, None], table[row], -1)      # (Q, cap)
         cpts = points[jnp.maximum(cand, 0)]                 # (Q, cap, 3)
         d2 = jnp.sum((cpts - q[:, None, :]) ** 2, axis=-1)
@@ -57,7 +58,7 @@ def knn_mean_distance(points, valid, voxel_size: float, k: int = 8,
     the 27-voxel neighborhood).  Invalid points and points with zero
     found neighbors return +inf.  Fixed shapes; chunked over queries."""
     N = points.shape[0]
-    table, row_ids = build_voxel_hash(points, valid, voxel_size, bucket_cap)
+    table, row_ids, lo = build_voxel_hash(points, valid, voxel_size, bucket_cap)
     pts_q = jnp.where(valid[:, None], points, 1e9)  # park invalid far away
     pad = (-N) % chunk
     q = jnp.pad(pts_q, ((0, pad), (0, 0)), constant_values=2e9)
@@ -66,7 +67,7 @@ def knn_mean_distance(points, valid, voxel_size: float, k: int = 8,
 
     def one_chunk(args):
         qc, qic = args
-        d2 = _candidate_d2(qc, qic, points, table, row_ids, voxel_size,
+        d2 = _candidate_d2(qc, qic, points, table, row_ids, lo, voxel_size,
                            bucket_cap)
         kk = min(k, d2.shape[1])
         neg_top, _ = jax.lax.top_k(-d2, kk)       # k smallest d2
@@ -109,7 +110,7 @@ def radius_outlier_removal(points, valid, radius: float,
     The voxel size equals ``radius`` so the 27-neighborhood provably
     covers the ball; counts saturate at 27*bucket_cap."""
     N = points.shape[0]
-    table, row_ids = build_voxel_hash(points, valid, radius, bucket_cap)
+    table, row_ids, lo = build_voxel_hash(points, valid, radius, bucket_cap)
     pts_q = jnp.where(valid[:, None], points, 1e9)
     pad = (-N) % chunk
     q = jnp.pad(pts_q, ((0, pad), (0, 0)), constant_values=2e9)
@@ -119,7 +120,7 @@ def radius_outlier_removal(points, valid, radius: float,
 
     def one_chunk(args):
         qc, qic = args
-        d2 = _candidate_d2(qc, qic, points, table, row_ids, radius,
+        d2 = _candidate_d2(qc, qic, points, table, row_ids, lo, radius,
                            bucket_cap)
         return jnp.sum(d2 <= r2, axis=1)
 

@@ -74,11 +74,16 @@ def icp_point_to_plane(
         # robust (Huber/IRLS) reweighting: grazing-incidence and edge
         # points carry amplified depth noise that biases the plain L2
         # solve (measured ~0.4 mm systematic residual on a sphere+plane
-        # scene); delta adapts to the current inlier residual scale
+        # scene); delta adapts to the current inlier residual scale.
+        # Scale estimate is 1.3 * weighted mean |e| — for Gaussian
+        # residuals that equals the 70th percentile of |e| (half-normal:
+        # P70 = 1.036 sigma, mean = 0.798 sigma) without the full
+        # device sort a per-iteration percentile would cost on TPU;
+        # heavy outliers are already gated by max_corr_dist above.
         e_pre = jnp.sum((moved - q) * n, axis=1)
         abs_e = jnp.abs(e_pre)
-        big = jnp.where(w > 0, abs_e, jnp.nan)
-        delta = jnp.maximum(jnp.nanpercentile(big, 70.0), 1e-6)
+        mean_abs = jnp.sum(w * abs_e) / jnp.maximum(jnp.sum(w), 1e-9)
+        delta = jnp.maximum(1.3 * mean_abs, 1e-6)
         w = w * jnp.minimum(1.0, delta / jnp.maximum(abs_e, 1e-12))
         xi, e = _solve_point_to_plane(moved, q, n, w)
         dR = so3_exp(xi[3:])

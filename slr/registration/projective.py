@@ -58,11 +58,12 @@ def icp_projective(
         ok = in_img & tgt_mask[vi, ui] & src_nrm_valid
         d2 = jnp.sum((moved - q) ** 2, axis=1)
         w = (ok & (d2 < max_d2)).astype(jnp.float32)
-        # robust reweighting (same policy as the NN ICP)
+        # robust reweighting (same sort-free policy as the NN ICP:
+        # 1.3 * weighted mean |e| matches the Gaussian 70th percentile)
         e_pre = jnp.sum((moved - q) * n, axis=1)
         abs_e = jnp.abs(e_pre)
-        big = jnp.where(w > 0, abs_e, jnp.nan)
-        delta = jnp.maximum(jnp.nanpercentile(big, 70.0), 1e-6)
+        mean_abs = jnp.sum(w * abs_e) / jnp.maximum(jnp.sum(w), 1e-9)
+        delta = jnp.maximum(1.3 * mean_abs, 1e-6)
         w = w * jnp.minimum(1.0, delta / jnp.maximum(abs_e, 1e-12))
         xi, e = _solve_point_to_plane(moved, q, n, w)
         dR = so3_exp(xi[3:])

@@ -15,24 +15,51 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# 10 bits per axis -> a 1024^3-voxel window anchored at the cloud's own
+# minimum voxel coordinate (computed per call, so the window floats with
+# the data). Coordinates outside the window are explicitly invalidated
+# instead of silently wrapping around (the old fixed +-512 packing
+# aliased any scene wider than 1024 voxels with no runtime check).
+_VOX_BITS = 10
+_VOX_N = 1 << _VOX_BITS
+_INVALID_VID = 0x40000000  # bit 30: above the 30 coordinate bits
+
+
+def _voxel_origin(v, valid):
+    """Per-axis minimum voxel coordinate over the valid points — the
+    anchor of the packing window."""
+    big = jnp.int32(1 << 30)
+    return jnp.min(jnp.where(valid[:, None], v, big), axis=0)
+
+
+def _pack_vid(v, lo, valid):
+    """Pack window-relative voxel coords into a 30-bit id.
+
+    Out-of-window coordinates (beyond 1024 voxels from the anchor) map to
+    the invalid sentinel — dropped/missed deterministically, never
+    aliased onto another voxel.
+    """
+    w = v - lo
+    inr = jnp.all((w >= 0) & (w < _VOX_N), axis=-1)
+    vid = w[:, 0] | (w[:, 1] << _VOX_BITS) | (w[:, 2] << (2 * _VOX_BITS))
+    return jnp.where(valid & inr, vid, jnp.int32(_INVALID_VID))
+
 
 @partial(jax.jit, static_argnames=("bucket_cap",))
 def build_voxel_hash(points, valid, voxel_size: float, bucket_cap: int = 8):
     """Static voxel-grid hash with bounded bucket occupancy.
 
     Returns (table (n_vox_capacity=N, bucket_cap) int32 point indices,
-    -1 padded; vids_sorted; unique voxel ids as a sorted array for
-    searchsorted lookup). All fixed shapes: the table has one row per
-    *potential* voxel (= one per input point upper bound), rows addressed
-    through searchsorted on the sorted unique ids.
+    -1 padded; row_ids: unique voxel ids as a sorted array for
+    searchsorted lookup; lo (3,) int32: the packing-window anchor that
+    queries must be packed against). All fixed shapes: the table has one
+    row per *potential* voxel (= one per input point upper bound), rows
+    addressed through searchsorted on the sorted unique ids.
     """
     N = points.shape[0]
     v = jnp.floor(points / voxel_size).astype(jnp.int32)
-    vid = (
-        (v[:, 0] & 0x3FF) | ((v[:, 1] & 0x3FF) << 10)
-        | ((v[:, 2] & 0x3FF) << 20)
-    )
-    vid = jnp.where(valid, vid, jnp.int32(0x40000000))
+    lo = _voxel_origin(v, valid)
+    vid = _pack_vid(v, lo, valid)
     order = jnp.argsort(vid)
     vid_s = vid[order]
     # rank of each point within its voxel run
@@ -53,34 +80,36 @@ def build_voxel_hash(points, valid, voxel_size: float, bucket_cap: int = 8):
     row_ids = jnp.sort(row_ids)
     # rows were scattered by seg (0..n_unique-1) which matches the sorted
     # unique order, so row k of `table` corresponds to row_ids[k]
-    return table, row_ids
+    return table, row_ids, lo
 
 
 @partial(jax.jit, static_argnames=("bucket_cap",))
-def voxel_hash_nn(query, points, table, row_ids, voxel_size: float,
+def voxel_hash_nn(query, points, table, row_ids, lo, voxel_size: float,
                   bucket_cap: int = 8):
     """Approximate-NN lookup in the 27-neighbourhood of each query's voxel.
 
     Exact whenever the true NN lies within one voxel (choose voxel_size
-    >= max correspondence distance). Returns (idx (Q,), d2 (Q,)); idx -1
-    when no candidate found. The TPU-native KD-tree replacement of
-    SURVEY.md section 9 (bounded buckets, gather-only inner loop).
+    >= max correspondence distance). ``lo`` is the window anchor returned
+    by build_voxel_hash. Returns (idx (Q,), d2 (Q,)); idx -1 when no
+    candidate found (including queries outside the packing window). The
+    TPU-native KD-tree replacement of SURVEY.md section 9 (bounded
+    buckets, gather-only inner loop).
     """
     Q = query.shape[0]
     vq = jnp.floor(query / voxel_size).astype(jnp.int32)
+    ones = jnp.ones((Q,), bool)
     best_d2 = jnp.full((Q,), jnp.inf)
     best_i = jnp.full((Q,), -1, jnp.int32)
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
                 vv = vq + jnp.array([dx, dy, dz], jnp.int32)
-                vid = (
-                    (vv[:, 0] & 0x3FF) | ((vv[:, 1] & 0x3FF) << 10)
-                    | ((vv[:, 2] & 0x3FF) << 20)
-                )
+                vid = _pack_vid(vv, lo, ones)
                 row = jnp.searchsorted(row_ids, vid)
                 row = jnp.clip(row, 0, row_ids.shape[0] - 1)
-                hit = row_ids[row] == vid
+                # the invalid sentinel may itself be a row (run of masked
+                # points) — an out-of-window query must not match it
+                hit = (row_ids[row] == vid) & (vid != _INVALID_VID)
                 cand = jnp.where(
                     hit[:, None], table[row], -1
                 )                                    # (Q, bucket_cap)
@@ -105,17 +134,15 @@ def voxel_downsample(points, valid, voxel_size: float, capacity: int,
     out_valid (capacity,), out_attrs). Voxels are assigned slots by a
     sort-by-id + segment boundary trick: stable, deterministic, exact when
     the number of occupied voxels <= capacity (extra voxels are dropped,
-    counted in the last return value).
+    counted in the last return value). The packing window spans 1024
+    voxels per axis from the cloud's own minimum; points beyond it are
+    dropped (treated as invalid), never aliased onto another voxel.
     """
     N = points.shape[0]
     v = jnp.floor(points / voxel_size).astype(jnp.int32)
-    # order-preserving 1-D id (bounded coordinates assumed: +-2^9 voxels)
-    vid = (
-        (v[:, 0] & 0x3FF) | ((v[:, 1] & 0x3FF) << 10) | ((v[:, 2] & 0x3FF) << 20)
-    )
-    # invalid sentinel uses bit 30, above the 30 coordinate bits, so no
-    # real voxel id (e.g. (-1,-1,-1) -> 0x3FFFFFFF) can collide with it
-    vid = jnp.where(valid, vid, jnp.int32(0x40000000))
+    lo = _voxel_origin(v, valid)
+    vid = _pack_vid(v, lo, valid)
+    valid = valid & (vid != _INVALID_VID)
     order = jnp.argsort(vid)
     vid_s = vid[order]
     pts_s = points[order]

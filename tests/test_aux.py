@@ -60,6 +60,23 @@ def test_checked_reconstruct_ok_and_fail():
     assert "mask nearly empty" in str(err2.get())
 
 
+def test_nan_guard_catches_injected_nan():
+    """nan_guard (slr.pipeline.checks) must turn a NaN produced inside a
+    guarded computation into an immediate FloatingPointError instead of
+    letting it propagate silently."""
+    import pytest
+    from slr.pipeline.checks import nan_guard
+
+    def bad(x):
+        return jnp.log(x)  # log(-1) -> NaN
+
+    with nan_guard():
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(jax.jit(bad)(jnp.asarray(-1.0)))
+    # guard restored: the same computation is silent again outside
+    assert bool(jnp.isnan(jax.jit(bad)(jnp.asarray(-1.0))))
+
+
 def test_batched_reconstruct_dp():
     cam, proj, cfg, scan = _scan()
     B = 4

@@ -84,6 +84,31 @@ def test_fused_kernel_nonaligned_sizes():
     assert float(jnp.sqrt(jnp.sum(err * err) / n)) < 0.5
 
 
+def test_decode_bit_depth_uint16_container():
+    """12-bit sensor data in a uint16 container: normalizing by the
+    container max would scale values 16x too small and break thresholds;
+    bit_depth=12 must recover the f32-path decode."""
+    cam, proj, cfg, scan = _setup(noise=0.0)
+    dec = DecodeConfig()
+    m = (1 << 12) - 1
+    f12 = jnp.clip(jnp.round(scan.frames * m), 0, m).astype(jnp.uint16)
+    ref = decode_stack(scan.frames, cfg, dec)
+    # without bit_depth the decode collapses (almost everything masked)
+    bad = decode_stack(f12, cfg, dec)
+    assert float(jnp.mean(bad.mask)) < 0.01
+    good = decode_stack(f12, cfg, dec, bit_depth=12)
+    agree = (good.mask == ref.mask)
+    assert float(jnp.mean(agree.astype(jnp.float32))) > 0.999
+    both = good.mask & ref.mask
+    xd = jnp.where(both, jnp.abs(good.x_p - ref.x_p), 0.0)
+    frac_big = jnp.sum((xd > 1e-2).astype(jnp.float32)) / jnp.sum(both)
+    assert float(frac_big) < 1e-3
+    # fused kernel takes the same parameter
+    outk = fused_decode_triangulate(f12, cam, proj, cfg, dec, bit_depth=12)
+    md = jnp.mean(((outk.mask > 0.5) ^ ref.mask).astype(jnp.float32))
+    assert float(md) < 0.01
+
+
 def test_fused_kernel_uint8_frames():
     """Raw 8-bit camera frames: the kernel's in-register normalization
     must match the f32 path on the quantized stack exactly, and stay

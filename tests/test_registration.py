@@ -185,11 +185,11 @@ def test_voxel_hash_nn_vs_scipy():
     tgt = rng.uniform(-40, 40, (3000, 3)).astype(np.float32)
     qry = (tgt[:400] + rng.normal(0, 0.5, (400, 3))).astype(np.float32)
     vs = 4.0
-    table, row_ids = build_voxel_hash(
+    table, row_ids, lo = build_voxel_hash(
         jnp.asarray(tgt), jnp.ones(3000, bool), vs, bucket_cap=16
     )
     idx, d2 = voxel_hash_nn(jnp.asarray(qry), jnp.asarray(tgt), table,
-                            row_ids, vs, bucket_cap=16)
+                            row_ids, lo, vs, bucket_cap=16)
     tree = cKDTree(tgt)
     d_ref, i_ref = tree.query(qry)
     found = np.asarray(idx) >= 0
@@ -200,6 +200,34 @@ def test_voxel_hash_nn_vs_scipy():
         np.abs(np.sqrt(np.asarray(d2)) - d_ref) < 1e-3
     )
     assert agree[found].mean() > 0.97, agree[found].mean()
+
+
+def test_voxel_packing_wide_scene_no_alias():
+    """Scenes wider than the 1024-voxel packing window must DROP the
+    out-of-window points, never wrap them onto another voxel (the old
+    fixed +-512 packing aliased them silently)."""
+    from slr.registration.voxel import (
+        build_voxel_hash, voxel_downsample, voxel_hash_nn,
+    )
+
+    vs = 1.0
+    near = np.array([[0.5, 0.5, 0.5], [0.6, 0.5, 0.5]], np.float32)
+    # 2048 voxels away: under the old packing (2048 & 0x3FF == 0) this
+    # aliased exactly onto the near cluster's voxel
+    far = near + np.array([2048.0, 0.0, 0.0], np.float32)
+    pts = jnp.asarray(np.concatenate([near, far]))
+    val = jnp.ones(4, bool)
+    out_pts, out_val, _, n_vox = voxel_downsample(pts, val, vs, capacity=16)
+    got = np.asarray(out_pts)[np.asarray(out_val)]
+    assert got.shape[0] == 1                       # near voxel only
+    np.testing.assert_allclose(got[0], near.mean(axis=0), atol=1e-5)
+    assert int(n_vox) == 1
+
+    table, row_ids, lo = build_voxel_hash(jnp.asarray(near),
+                                          jnp.ones(2, bool), vs)
+    idx, d2 = voxel_hash_nn(jnp.asarray(far), jnp.asarray(near), table,
+                            row_ids, lo, vs)
+    assert (np.asarray(idx) == -1).all()           # no phantom NN match
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,62 @@ def test_tsdf_multi_view_coverage_grows():
     assert np.abs(r - RADIUS).max() < 3.0
 
 
+def test_mesh_winding_consistent():
+    """Every extracted face must wind so its normal points OUTWARD (toward
+    positive tsdf). Guards the marching-tets table: a single flipped case
+    (1 of 14 crossing configs) passes every distance-based test but breaks
+    computed normals / backface culling downstream."""
+    vol = make_volume(CENTER - 80.0, size_vox=(80, 80, 80), voxel=2.0)
+    centers = (
+        vol.origin
+        + vol.voxel * jnp.stack(jnp.meshgrid(
+            jnp.arange(80.0), jnp.arange(80.0), jnp.arange(80.0),
+            indexing="ij")[::-1], axis=-1)
+    )  # (D,H,W,3) world, axes (z,y,x) -> stack (x,y,z)
+    d = jnp.linalg.norm(centers - jnp.asarray(CENTER), axis=-1)
+    tsdf = jnp.clip((d - RADIUS) / vol.trunc, -1.0, 1.0)
+    vol = vol._replace(tsdf=tsdf, weight=jnp.ones_like(tsdf))
+    verts, faces = extract_mesh(vol)
+    tris = verts.reshape(-1, 3, 3)
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    outward = tris.mean(axis=1) - CENTER
+    dots = np.sum(n * outward, axis=-1)
+    # normalize away degenerate slivers (zero-area crossings at tet faces)
+    area2 = np.linalg.norm(n, axis=-1)
+    good = area2 > 1e-9 * area2.max()
+    frac = float(np.mean(dots[good] > 0))
+    assert frac == 1.0, f"{(1 - frac) * 100:.2f}% of faces wound inward"
+
+
+def test_fuse_tsdf_empty_anchor_raises():
+    import pytest
+
+    cam = make_camera(fx=300.0, fy=300.0, cx=CAM_W / 2, cy=CAM_H / 2)
+    cloud = _sphere_cloud(cam)
+    cloud = cloud._replace(mask=jnp.zeros_like(cloud.mask))
+    with pytest.raises(ValueError, match="no valid points"):
+        fuse_tsdf([cloud], cam, [jnp.eye(3)], [jnp.zeros(3)])
+
+
+def test_fuse_tsdf_autogrow_fits_scene():
+    """A scene wider than size_vox*voxel must grow the voxel (with a
+    warning), not silently crop the model at the volume boundary."""
+    import warnings
+
+    cam = make_camera(fx=300.0, fy=300.0, cx=CAM_W / 2, cy=CAM_H / 2)
+    cloud = _sphere_cloud(cam)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        vol = fuse_tsdf([cloud], cam, [jnp.eye(3)], [jnp.zeros(3)],
+                        size_vox=(32, 32, 32), voxel=2.0)
+        assert any("growing voxel" in str(w.message) for w in rec)
+    # the whole sphere must fit: every valid point inside the volume box
+    p = np.asarray(cloud.points)[np.asarray(cloud.mask)]
+    lo = np.asarray(vol.origin)
+    hi = lo + 32 * float(vol.voxel)
+    assert (p >= lo - 1e-3).all() and (p <= hi + 1e-3).all()
+
+
 def test_tsdf_from_rendered_scans(tmp_path):
     """End-to-end: rendered pattern stacks -> fused kernel clouds -> TSDF
     with the TRUE rig poses -> mesh on the analytic sphere."""
