@@ -19,6 +19,8 @@ from slr.codec.phaseshift import (
 from slr.codec.unwrap import (
     unwrap_temporal,
     spatial_quality_unwrap,
+    quality_guided_unwrap,
+    quality_guided_repair,
 )
 from slr.codec.patterns import generate_pattern_stack, decode_stack
 from slr.codec.multifreq import (

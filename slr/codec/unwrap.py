@@ -54,14 +54,16 @@ def unwrap_temporal(phi, code, bits: int, code_to_fringe_ratio: float = 1.0,
 
 
 def spatial_quality_unwrap(Phi, quality, mask, iters: int = 8):
-    """Fixed-iteration quality-guided fringe-order repair.
+    """Fixed-iteration strict-consensus fringe-order repair.
 
-    Each iteration computes, per pixel, the quality-weighted mean absolute
-    phase of the 4-neighbourhood and snaps the pixel's fringe order by an
-    integer number of periods toward that consensus — but only where the
-    pixel's quality is below the consensus quality (high-quality pixels
-    anchor the propagation, mirroring the reference's process-best-first
-    flood fill). Masked-out pixels contribute nothing and are not updated.
+    Each iteration lets every valid 4-neighbour vote an integer
+    fringe-order correction; a pixel snaps only when >= 3 neighbours cast
+    the SAME non-zero vote (see propagation_step). ``quality`` is kept in
+    the signature for kernel-sharing symmetry but the voting itself is
+    quality-blind by design — strict voting is what keeps the repair
+    error-reducing at depth discontinuities. It repairs ISOLATED
+    single-pixel order errors only; for multi-pixel blobs and phase-only
+    maps use quality_guided_unwrap below.
 
     Phi: (H,W) absolute phase; quality: (H,W) >= 0; mask: (H,W) bool.
     Returns repaired Phi.
@@ -141,3 +143,143 @@ def propagation_step(Phi_c, q_c, mask, roll_fn=None):
     take = mask & (best_count >= 3.0)
     Phi_new = jnp.where(take, Phi_c + TWO_PI * best_k, Phi_c)
     return Phi_new, q_c
+
+
+# --- quality-guided wavefront unwrap (component 8 proper) -------------------
+#
+# The reference's priority-queue flood fill processes pixels in strictly
+# decreasing quality order, unwrapping each new pixel against an
+# already-unwrapped neighbour. TPU reformulation ([B:5] "vectorized
+# quality-guided unwrapping"): the priority queue becomes L descending
+# quality thresholds (the iterative threshold-lowering front); within a
+# level the wavefront grows by directional line scans whose per-pixel
+# elements form a monoid, so a whole scanline unwraps in ONE
+# lax.associative_scan (log-depth, fully vectorized) instead of one
+# pixel per queue pop.
+#
+# Monoid: each pixel along the scan direction acts as a function of the
+# absolute phase arriving from upstream:
+#   CONST(v): already-unwrapped pixel -> emits v, ignores upstream;
+#   CHAIN(p): eligible pixel with wrapped phase p -> unwraps itself
+#             against whatever arrives: out = p + 2pi*round((in-p)/2pi);
+#   KILL:     masked / below-threshold pixel -> blocks propagation.
+# Function composition is associative, and the closure of these under
+# composition stays representable with four fields
+#   tag: 2=CONST (value pe) | 1=CHAIN(ps, pe, c) | 0=KILL
+#   CHAIN(ps, pe, c)(x) = pe + 2pi*(round((x - ps)/2pi) + c)
+# because round((p + 2pi k - p')/2pi) = k + round((p - p')/2pi) for
+# integer k — chained unwraps collapse into one round plus an integer.
+
+
+def _compose(x, y):
+    """Monoid combine: the function 'x then y' (y downstream of x)."""
+    tx, psx, pex, cx = x
+    ty, psy, pey, cy = y
+    k = jnp.round((pex - psy) / TWO_PI)
+    const_val = pey + TWO_PI * (k + cy)       # x CONST feeding y CHAIN
+    chain_c = cx + cy + k                     # x CHAIN feeding y CHAIN
+    y_is_chain = ty == 1
+    tag = jnp.where(y_is_chain,
+                    jnp.where(tx == 2, 2, jnp.where(tx == 1, 1, 0)), ty)
+    ps = jnp.where(y_is_chain & (tx == 1), psx, psy)
+    pe = jnp.where(y_is_chain & (tx == 2), const_val, pey)
+    c = jnp.where(y_is_chain & (tx == 1), chain_c, cy)
+    return tag, ps, pe, c
+
+
+def _directional_pass(Phi, done, phi, eligible, axis: int, reverse: bool):
+    """One line-scan growth pass over the whole image (one direction)."""
+    tag = jnp.where(done, 2, jnp.where(eligible, 1, 0)).astype(jnp.int32)
+    ps = phi
+    pe = jnp.where(done, Phi, phi)
+    c = jnp.zeros_like(phi)
+    tg, _, pe_o, _ = jax.lax.associative_scan(
+        _compose, (tag, ps, pe, c), axis=axis, reverse=reverse
+    )
+    reached = eligible & ~done & (tg == 2)
+    return jnp.where(reached, pe_o, Phi), done | reached
+
+
+def quality_guided_unwrap(
+    phi,                     # (H,W) wrapped phase (any 2pi-branch, e.g. [0,2pi))
+    quality,                 # (H,W) >= 0 modulation map
+    mask,                    # (H,W) bool valid pixels
+    Phi_init=None,           # (H,W) initial absolute phase (repair mode)
+    trust=None,              # (H,W) bool: pixels whose Phi_init is kept fixed
+    levels: int = 4,
+    rounds_per_level: int = 2,
+):
+    """Quality-ordered wavefront phase unwrapping (SURVEY.md component 8).
+
+    Two modes:
+    - **phase-only** (Phi_init None): a single seed — the highest-quality
+      masked pixel — anchors the absolute phase; everything reachable
+      through the mask unwraps from it, high-quality regions first.
+    - **repair** (Phi_init + trust given): trusted pixels keep their
+      temporal (Gray-code) absolute phase and act as wavefront sources;
+      every untrusted pixel's fringe order is RE-DERIVED by propagation
+      from the trusted set, which repairs multi-pixel order-error blobs
+      that local voting (spatial_quality_unwrap) cannot. Unreached
+      pixels fall back to Phi_init.
+
+    The front lowers the quality threshold over ``levels`` steps
+    (quantiles of the masked quality map), so propagation paths prefer
+    high-modulation pixels exactly like the reference's priority queue.
+    Returns (Phi, reached): absolute phase and the bool map of pixels
+    anchored to a source.
+    """
+    phi = phi.astype(jnp.float32)
+    q = jnp.where(mask, quality, 0.0).astype(jnp.float32)
+    if Phi_init is None:
+        flat = jnp.argmax(jnp.where(mask, q, -1.0))
+        done = jnp.zeros(phi.shape, bool).reshape(-1).at[flat].set(True)
+        done = done.reshape(phi.shape) & mask
+        Phi = phi
+    else:
+        assert trust is not None, "repair mode needs a trust mask"
+        done = trust & mask
+        Phi = Phi_init.astype(jnp.float32)
+
+    # descending quality thresholds: quantiles of the valid-pixel quality
+    qs = jnp.nanquantile(
+        jnp.where(mask, q, jnp.nan),
+        jnp.linspace(1.0 - 1.0 / levels, 0.0, levels),
+    )
+
+    def level_body(i, state):
+        Phi_c, done_c = state
+        thresh = qs[i]
+        eligible = mask & (q >= thresh)
+
+        def round_body(_, st):
+            Ph, dn = st
+            for axis, rev in ((1, False), (1, True), (0, False), (0, True)):
+                Ph, dn = _directional_pass(Ph, dn, phi, eligible, axis, rev)
+            return Ph, dn
+
+        return jax.lax.fori_loop(0, rounds_per_level, round_body,
+                                 (Phi_c, done_c))
+
+    Phi, done = jax.lax.fori_loop(0, levels, level_body, (Phi, done))
+    return Phi, done
+
+
+def quality_guided_repair(Phi, quality, mask, trust_quantile: float = 0.5,
+                          levels: int = 4, rounds_per_level: int = 2):
+    """Blob-capable order-error repair on a temporally-unwrapped map.
+
+    Pixels above the ``trust_quantile`` of the masked quality
+    distribution anchor the wavefront; the fringe order of everything
+    below is re-derived by quality-guided propagation (wrapped phase is
+    always trustworthy — only the order k is re-chosen). Unreached
+    pixels keep their temporal value.
+    """
+    phi = jnp.mod(Phi, TWO_PI)
+    q = jnp.where(mask, quality, jnp.nan)
+    thr = jnp.nanquantile(q, trust_quantile)
+    trust = mask & (quality >= thr)
+    out, _ = quality_guided_unwrap(
+        phi, quality, mask, Phi_init=Phi, trust=trust,
+        levels=levels, rounds_per_level=rounds_per_level,
+    )
+    return out

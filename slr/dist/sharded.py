@@ -6,6 +6,13 @@ except the spatial unwrap, whose tile coupling is handled by halo
 exchange + masked propagation (the per-iteration exchange keeps the
 result close to the unsharded fixed-iteration reference — exact when
 repairs do not chain across a tile border within one call).
+
+The per-shard decode runs the PRODUCTION fused Pallas kernel
+(slr.kernels.fused_decode_triangulate) whenever the pattern config
+supports it, so the scale-out path and the single-chip fast path are the
+same code — the kernel takes the shard's global row offset so the camera
+model sees global pixel coordinates. Configs the kernel does not cover
+(no inverses / no phase) fall back to the pure-JAX decode_stack.
 """
 
 from __future__ import annotations
@@ -22,33 +29,34 @@ from slr.config import DecodeConfig, PatternConfig
 from slr.dist.halo import halo_exchange_rows
 from slr.geom.camera import Camera
 from slr.geom.triangulate import triangulate_plane
+from slr.kernels.fused_scan import fused_decode_triangulate
+
+
+def _halo_unwrap(Phi_l, q_l, m_l, iters: int, axis: str = "pixel_tile"):
+    """Quality-repair sweeps on a row shard: halo-exchange one row each
+    way per iteration, one propagation sweep on the haloed tile, strip
+    halos. Borders therefore see their true neighbours every sweep.
+    Shared by sharded_unwrap and sharded_reconstruct (single source)."""
+    q_l = jnp.where(m_l, q_l, 0.0)
+
+    def body(_, state):
+        Ph, qq = state
+        Ph_h = halo_exchange_rows(Ph, axis, 1)
+        q_h = halo_exchange_rows(qq, axis, 1)
+        m_h = halo_exchange_rows(m_l.astype(jnp.float32), axis, 1) > 0.5
+        Ph_n, q_n = propagation_step(Ph_h, q_h, m_h)
+        return Ph_n[1:-1], q_n[1:-1]
+
+    out, _ = jax.lax.fori_loop(0, iters, body, (Phi_l, q_l))
+    return out
 
 
 def sharded_unwrap(Phi, quality, mask, mesh: Mesh, iters: int = 8,
                    exchange_every: int = 1):
-    """Quality-guided unwrap with the image row-sharded over pixel_tile.
-
-    Each iteration: halo-exchange one row each way, one propagation sweep
-    on the haloed tile, strip halos. Borders therefore see their true
-    neighbours every ``exchange_every`` sweeps.
-    """
-
-    def local(Phi_l, q_l, m_l):
-        q_l = jnp.where(m_l, q_l, 0.0)
-
-        def body(_, state):
-            Ph, qq = state
-            Ph_h = halo_exchange_rows(Ph, "pixel_tile", 1)
-            q_h = halo_exchange_rows(qq, "pixel_tile", 1)
-            m_h = halo_exchange_rows(m_l.astype(jnp.float32), "pixel_tile", 1) > 0.5
-            Ph_n, q_n = propagation_step(Ph_h, q_h, m_h)
-            return Ph_n[1:-1], q_n[1:-1]
-
-        out, _ = jax.lax.fori_loop(0, iters, body, (Phi_l, q_l))
-        return out
+    """Quality-guided repair with the image row-sharded over pixel_tile."""
 
     fn = jax.shard_map(
-        local,
+        partial(_halo_unwrap, iters=iters),
         mesh=mesh,
         in_specs=(P("pixel_tile"), P("pixel_tile"), P("pixel_tile")),
         out_specs=P("pixel_tile"),
@@ -74,35 +82,32 @@ def sharded_reconstruct(
     H = frames.shape[1]
     n_tiles = mesh.shape["pixel_tile"]
     rows_per = H // n_tiles
+    use_kernel = cfg.use_inverse and cfg.phase_steps > 0
 
     def local(frames_l):
-        res = decode_stack(frames_l, cfg, dec)
-        x_p, mask, quality = res.x_p, res.mask, res.quality
-        if spatial_iters:
-            Phi = x_p * (2.0 * jnp.pi / cfg.fringe_pitch)
-            Phi = _unwrap_local(Phi, quality, mask, spatial_iters)
-            x_p = Phi * (cfg.fringe_pitch / (2.0 * jnp.pi))
         tile = jax.lax.axis_index("pixel_tile")
         row0 = (tile * rows_per).astype(jnp.float32)
-        h_l, w = x_p.shape
-        v = jax.lax.broadcasted_iota(jnp.float32, (h_l, w), 0) + row0
-        u = jax.lax.broadcasted_iota(jnp.float32, (h_l, w), 1)
-        pts, _ = triangulate_plane(cam, proj, u, v, x_p)
+        if use_kernel:
+            out = fused_decode_triangulate(
+                frames_l, cam, proj, cfg, dec, row_offset=row0
+            )
+            x_p, mask, quality = out.x_p, out.mask > 0.5, out.quality
+            pts = jnp.moveaxis(out.points, 0, -1)
+        else:
+            res = decode_stack(frames_l, cfg, dec)
+            x_p, mask, quality = res.x_p, res.mask, res.quality
+            pts = None
+        if spatial_iters:
+            Phi = x_p * (2.0 * jnp.pi / cfg.fringe_pitch)
+            Phi = _halo_unwrap(Phi, quality, mask, spatial_iters)
+            x_p = Phi * (cfg.fringe_pitch / (2.0 * jnp.pi))
+            pts = None  # x_p changed: re-triangulate below
+        if pts is None:
+            h_l, w = x_p.shape
+            v = jax.lax.broadcasted_iota(jnp.float32, (h_l, w), 0) + row0
+            u = jax.lax.broadcasted_iota(jnp.float32, (h_l, w), 1)
+            pts, _ = triangulate_plane(cam, proj, u, v, x_p)
         return pts, mask, x_p
-
-    def _unwrap_local(Phi_l, q_l, m_l, iters):
-        q_l = jnp.where(m_l, q_l, 0.0)
-
-        def body(_, state):
-            Ph, qq = state
-            Ph_h = halo_exchange_rows(Ph, "pixel_tile", 1)
-            q_h = halo_exchange_rows(qq, "pixel_tile", 1)
-            m_h = halo_exchange_rows(m_l.astype(jnp.float32), "pixel_tile", 1) > 0.5
-            Ph_n, q_n = propagation_step(Ph_h, q_h, m_h)
-            return Ph_n[1:-1], q_n[1:-1]
-
-        out, _ = jax.lax.fori_loop(0, iters, body, (Phi_l, q_l))
-        return out
 
     fn = jax.shard_map(
         local,

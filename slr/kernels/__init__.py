@@ -13,4 +13,4 @@ slr.codec / slr.geom is asserted in tests/test_kernels.py.
 
 from slr.kernels.common import use_interpret
 from slr.kernels.fused_scan import fused_decode_triangulate
-from slr.kernels.unwrap_scan import quality_unwrap_pallas
+from slr.kernels.unwrap_scan import quality_unwrap_pallas, quality_unwrap_tiled

@@ -43,13 +43,96 @@ def _kernel(phi_ref, q_ref, mask_ref, out_ref, *, iters: int):
     out_ref[:] = Phi
 
 
+def _tiled_kernel(phi_hbm, q_hbm, m_hbm, out_ref, s_phi, s_q, s_m, sems,
+                  *, iters: int, tile_h: int, halo: int):
+    """One row tile: DMA a halo'd block HBM->VMEM, run all sweeps in
+    VMEM, write back the interior rows only."""
+    i = pl.program_id(0)
+    size = tile_h + 2 * halo
+    # inputs are pre-padded by `halo` rows top+bottom, so the halo'd
+    # block of tile i starts at row i*tile_h in padded coordinates
+    cp = [
+        pltpu.make_async_copy(src.at[pl.ds(i * tile_h, size)], dst,
+                              sems.at[k])
+        for k, (src, dst) in enumerate(
+            ((phi_hbm, s_phi), (q_hbm, s_q), (m_hbm, s_m)))
+    ]
+    for c in cp:
+        c.start()
+    for c in cp:
+        c.wait()
+
+    mask = s_m[:] > 0.5
+
+    def body(_, state):
+        return propagation_step(state[0], state[1], mask, roll_fn=_tpu_roll)
+
+    Phi, _ = jax.lax.fori_loop(
+        0, iters, body, (s_phi[:], jnp.where(mask, s_q[:], 0.0))
+    )
+    out_ref[:] = Phi[halo:halo + tile_h]
+
+
+@partial(jax.jit, static_argnames=("iters", "tile_h", "halo"))
+def quality_unwrap_tiled(Phi, quality, mask, iters: int = 8,
+                         tile_h: int = 128, halo: int | None = None):
+    """Tiled-grid variant of quality_unwrap_pallas with in-kernel halos.
+
+    The image is swept one row tile at a time; each tile DMAs
+    ``tile_h + 2*halo`` rows into VMEM, runs all ``iters`` sweeps there,
+    and writes back the interior. With halo >= iters the result is
+    EXACTLY the unsharded repair (information travels one row per
+    sweep), while VMEM holds only a tile — this is the path for maps too
+    large for the whole-image VMEM kernel, and the single-chip analog of
+    the shard_map halo-exchange pipeline (slr/dist/sharded.py).
+    """
+    if halo is None:
+        halo = iters
+    H, W = Phi.shape
+    Wp = round_up(W, 128)
+    Hp = round_up(H, tile_h)
+    fmask = mask.astype(jnp.float32)
+    pad = ((halo, Hp - H + halo), (0, Wp - W))
+    phi_p = jnp.pad(Phi.astype(jnp.float32), pad)
+    q_p = jnp.pad(quality.astype(jnp.float32), pad)
+    m_p = jnp.pad(fmask, pad)
+    size = tile_h + 2 * halo
+    out = pl.pallas_call(
+        partial(_tiled_kernel, iters=iters, tile_h=tile_h, halo=halo),
+        grid=(Hp // tile_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((size, Wp), jnp.float32),
+            pltpu.VMEM((size, Wp), jnp.float32),
+            pltpu.VMEM((size, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * iters * Hp * Wp,
+            bytes_accessed=4 * Hp * Wp * 4,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(phi_p, q_p, m_p)
+    return out[:H, :W]
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def quality_unwrap_pallas(Phi, quality, mask, iters: int = 8):
     """Drop-in Pallas version of slr.codec.spatial_quality_unwrap."""
     H, W = Phi.shape
     Hp, Wp = round_up(H, 8), round_up(W, 128)
     if 3 * Hp * Wp * 4 > _VMEM_BUDGET:
-        return spatial_quality_unwrap(Phi, quality, mask, iters=iters)
+        # too big for whole-image VMEM residency: run the tiled-grid
+        # halo variant (exact for halo == iters)
+        return quality_unwrap_tiled(Phi, quality, mask, iters=iters)
     fmask = mask.astype(jnp.float32)
     if (Hp, Wp) != (H, W):
         Phi = jnp.pad(Phi, ((0, Hp - H), (0, Wp - W)))
