@@ -80,11 +80,14 @@ def main():
     ts.sort()
     ms = ts[len(ts) // 2]
 
+    n_pts = int(n)  # valid 3D points per scan (accuracy-gated above)
     print(json.dumps({
         "metric": "scan_decode_triangulate_ms",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms, 2),
+        "points_per_s_chip": round(n_pts / (ms / 1e3)),
+        "rms_mm": round(rms, 4),
     }))
 
 

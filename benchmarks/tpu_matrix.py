@@ -1,0 +1,289 @@
+"""Real-chip verification matrix (VERDICT r1 missing #1).
+
+Runs every kernel variant and the registration/BA stack COMPILED on the
+default backend (the v5e chip under axon; CPU elsewhere), asserts
+accuracy against ground truth / the pure-JAX reference paths, and
+records median latency. Appends one JSON line per case to
+benchmarks/tpu_matrix_r2.jsonl so partial results survive a timeout.
+
+Kernel variants are timed amortized over a BATCH-scan vmapped dispatch
+(the axon relay costs ~27 ms per host->device round trip regardless of
+compute — measured below as case "null_dispatch" — so single-dispatch
+numbers measure the relay, not the kernel).
+
+Run: nohup timeout 5400 python benchmarks/tpu_matrix.py > /tmp/tpu_matrix.log 2>&1 &
+"""
+
+import json
+import os
+import time
+import traceback
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import slr  # noqa: F401  (sets jax_default_matmul_precision=highest)
+from slr.config import DecodeConfig, PatternConfig
+from slr.codec import decode_stack, spatial_quality_unwrap
+from slr.kernels import (
+    fused_decode_triangulate, quality_unwrap_pallas, quality_unwrap_tiled,
+)
+from slr.kernels.common import use_interpret
+from slr.registration import (
+    nearest_neighbors, icp_point_to_plane, pose_graph_optimize,
+)
+from slr.dist.ba import bundle_adjust_reference
+from slr.geom.se3 import so3_exp, se3_compose, se3_inverse
+from slr.synth import bumps_depth
+from slr.synth.render import default_rig, render_scan, quantize_frames
+
+OUT = os.path.join(os.path.dirname(__file__), "tpu_matrix_r2.jsonl")
+CAM_W, CAM_H = 1280, 1024
+BATCH = 8
+
+
+def emit(case: str, **rec):
+    rec = {"case": case, **rec,
+           "platform": jax.devices()[0].platform,
+           "interpret": use_interpret()}
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def timed(fn, *args, n=5):
+    out = jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    return ts[len(ts) // 2], out
+
+
+def rms_vs_truth(pts_3hw, mask_hw, scan):
+    pts = np.moveaxis(np.asarray(pts_3hw), 0, -1)
+    valid = np.asarray(mask_hw) > 0.5
+    valid &= np.asarray(scan.mask_true)
+    err = np.linalg.norm(pts - np.asarray(scan.points_true), axis=-1)[valid]
+    return float(np.sqrt(np.mean(err ** 2))), int(valid.sum())
+
+
+def kernel_case(name, frames, cam, proj, cfg, dec, scan, rms_bound):
+    batch = jnp.broadcast_to(frames, (BATCH,) + frames.shape)
+
+    @jax.jit
+    def run(fb):
+        o = jax.vmap(
+            lambda f: fused_decode_triangulate(f, cam, proj, cfg, dec)
+        )(fb)
+        return o.points, o.mask
+
+    ms, (pts, mask) = timed(run, batch)
+    rms, n = rms_vs_truth(pts[0], mask[0], scan)
+    px_s = BATCH * frames.shape[1] * frames.shape[2] / (ms / 1e3)
+    emit(name, ms_per_scan=round(ms / BATCH, 4), rms_mm=round(rms, 4),
+         valid_points=n, points_per_s=round(n * BATCH / (ms / 1e3)),
+         pixels_per_s=round(px_s),
+         ok=bool(rms < rms_bound), frames=frames.shape[0],
+         dtype=str(frames.dtype))
+
+
+def main():
+    open(OUT, "w").close()
+    emit("env", devices=[str(d) for d in jax.devices()])
+
+    # ---- relay dispatch overhead (null jit call) ----
+    x = jnp.zeros((8, 128), jnp.float32)
+    ms, _ = timed(jax.jit(lambda a: a + 1.0), x)
+    emit("null_dispatch", ms=round(ms, 3))
+
+    # ---- config-3 scene, f32 + uint8 kernel paths ----
+    cam, proj = default_rig(cam_w=CAM_W, cam_h=CAM_H)
+    cfg3 = PatternConfig(proj_width=1024, proj_height=768, gray_bits=7,
+                         phase_steps=4)
+    dec = DecodeConfig()
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=30.0)
+    try:
+        scan3 = render_scan(cam, proj, depth, cfg3, noise_std=0.005,
+                            key=jax.random.PRNGKey(0))
+        jax.block_until_ready(scan3.frames)
+        kernel_case("fused_f32_column", scan3.frames, cam, proj, cfg3, dec,
+                    scan3, rms_bound=1.0)
+        kernel_case("fused_uint8_column", quantize_frames(scan3.frames),
+                    cam, proj, cfg3, dec, scan3, rms_bound=1.0)
+    except Exception:
+        emit("fused_column", error=traceback.format_exc()[-1500:])
+
+    # ---- config-1 Gray-only path ----
+    try:
+        cfg1 = PatternConfig(proj_width=1024, proj_height=768, gray_bits=7,
+                             phase_steps=0)
+        scan1 = render_scan(cam, proj, depth, cfg1)
+        kernel_case("fused_gray_only", scan1.frames, cam, proj, cfg1, dec,
+                    scan1, rms_bound=5.0)
+    except Exception:
+        emit("fused_gray_only", error=traceback.format_exc()[-1500:])
+
+    # ---- row+column midpoint path (full projector distortion) ----
+    try:
+        cam_m, proj_m = default_rig(
+            cam_w=CAM_W, cam_h=CAM_H,
+            proj_dist=[-0.08, 0.02, 0.001, -0.001, 0.0])
+        cfgm = PatternConfig(proj_width=1024, proj_height=768, gray_bits=7,
+                             row_gray_bits=6, phase_steps=4)
+        scanm = render_scan(cam_m, proj_m, depth, cfgm)
+        kernel_case("fused_midpoint_rowcol", scanm.frames, cam_m, proj_m,
+                    cfgm, dec, scanm, rms_bound=10.0)
+    except Exception:
+        emit("fused_midpoint_rowcol", error=traceback.format_exc()[-1500:])
+
+    # ---- quality-guided unwrap kernels vs pure-JAX repair ----
+    try:
+        rng = np.random.default_rng(0)
+        H, W = 1024, 1280
+        Phi = np.linspace(0, 60, W)[None, :] + 0.1 * rng.normal(size=(H, W))
+        bad = np.zeros((H, W), bool)
+        bad[rng.integers(1, H - 1, 400), rng.integers(1, W - 1, 400)] = True
+        q = np.where(bad, 0.05, 1.0).astype(np.float32)
+        Phi_n = np.where(bad, Phi + 2 * np.pi * 3, Phi).astype(np.float32)
+        Phi_n, q = jnp.asarray(Phi_n), jnp.asarray(q)
+        mask = jnp.ones((H, W), bool)
+
+        ms_ref, ref = timed(
+            jax.jit(lambda p, qq, m: spatial_quality_unwrap(p, qq, m, iters=6)),
+            Phi_n, q, mask)
+        ms_pal, out_pal = timed(
+            jax.jit(lambda p, qq, m: quality_unwrap_pallas(p, qq, m, iters=6)),
+            Phi_n, q, mask)
+        err = float(np.abs(np.asarray(out_pal) - np.asarray(ref)).max())
+        emit("quality_unwrap_pallas", ms=round(ms_pal, 3),
+             ms_pure_jax=round(ms_ref, 3), max_err_vs_jax=err,
+             ok=bool(err < 1e-4))
+
+        ms_til, out_til = timed(
+            jax.jit(lambda p, qq, m: quality_unwrap_tiled(p, qq, m, iters=6)),
+            Phi_n, q, mask)
+        errt = float(np.abs(np.asarray(out_til) - np.asarray(ref)).max())
+        emit("quality_unwrap_tiled", ms=round(ms_til, 3),
+             max_err_vs_jax=errt, ok=bool(errt < 1e-4))
+    except Exception:
+        emit("quality_unwrap", error=traceback.format_exc()[-1500:])
+
+    # ---- registration stack ----
+    rng = np.random.default_rng(1)
+
+    def bumpy(n, seed):
+        r = np.random.default_rng(seed)
+        xy = r.uniform(-100, 100, (n, 2))
+        z = (500 + 20 * np.sin(xy[:, 0] / 25.0) * np.cos(xy[:, 1] / 30.0)
+             + 8 * np.sin(xy[:, 1] / 12.0))
+        return np.column_stack([xy, z]).astype(np.float32)
+
+    try:
+        tgt = jnp.asarray(rng.uniform(-50, 50, (16384, 3)), jnp.float32)
+        qry = jnp.asarray(rng.uniform(-50, 50, (16384, 3)), jnp.float32)
+        ms, (idx, d2) = timed(
+            jax.jit(lambda a, b: nearest_neighbors(a, b, tile=2048)), qry, tgt)
+        # exactness spot check vs numpy brute force on 64 queries
+        qn, tn = np.asarray(qry[:64]), np.asarray(tgt)
+        ref_idx = np.argmin(
+            ((qn[:, None] - tn[None]) ** 2).sum(-1), axis=1)
+        ok = bool((np.asarray(idx[:64]) == ref_idx).all())
+        emit("nearest_neighbors_16k", ms=round(ms, 3), ok=ok,
+             pairs_per_s=round(16384 * 16384 / (ms / 1e3)))
+    except Exception:
+        emit("nearest_neighbors_16k", error=traceback.format_exc()[-1500:])
+
+    try:
+        src_np = bumpy(8192, 0)
+        src = jnp.asarray(src_np)
+        rv = jnp.asarray([0.01, -0.02, 0.015], jnp.float32)
+        R_true = so3_exp(rv)
+        t_true = jnp.asarray([3.0, -2.0, 4.0], jnp.float32)
+        tgt = src @ R_true.T + t_true
+        gx = 20 * np.cos(src_np[:, 0] / 25.0) / 25.0 * np.cos(src_np[:, 1] / 30.0)
+        gy = (-20 * np.sin(src_np[:, 0] / 25.0) * np.sin(src_np[:, 1] / 30.0) / 30.0
+              + 8 * np.cos(src_np[:, 1] / 12.0) / 12.0)
+        n0 = np.column_stack([-gx, -gy, np.ones_like(gx)])
+        n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+        n_tgt = jnp.asarray(n0, jnp.float32) @ R_true.T
+
+        def run_icp(s, t_, n_):
+            return icp_point_to_plane(s, t_, n_, iters=15,
+                                      max_corr_dist=20.0, nn_tile=2048)
+
+        ms, res = timed(jax.jit(run_icp), src, tgt, n_tgt)
+        rerr = float(np.abs(np.asarray(res.R) - np.asarray(R_true)).max())
+        terr = float(np.abs(np.asarray(res.t) - np.asarray(t_true)).max())
+        emit("icp_8k_15iter", ms=round(ms, 3), R_err=rerr, t_err=terr,
+             rms=float(res.rms), ok=bool(rerr < 5e-3 and terr < 0.5))
+    except Exception:
+        emit("icp_8k_15iter", error=traceback.format_exc()[-1500:])
+
+    try:
+        r = np.random.default_rng(5)
+        S = 16
+        R_true, t_true = [jnp.eye(3)], [jnp.zeros(3)]
+        for s in range(1, S):
+            rv = jnp.asarray(r.uniform(-0.2, 0.2, 3), jnp.float32)
+            tv = jnp.asarray(r.uniform(-20, 20, 3), jnp.float32)
+            R, t = se3_compose(R_true[-1], t_true[-1], so3_exp(rv), tv)
+            R_true.append(R); t_true.append(t)
+        R_true, t_true = jnp.stack(R_true), jnp.stack(t_true)
+        edges = [(s, s + 1) for s in range(S - 1)] + [(S - 1, 0), (0, S // 2)]
+        ei = jnp.asarray([e[0] for e in edges])
+        ej = jnp.asarray([e[1] for e in edges])
+        Zr, Zt = [], []
+        for (i, j) in edges:
+            Ri, ti = se3_inverse(R_true[i], t_true[i])
+            Rz, tz = se3_compose(Ri, ti, R_true[j], t_true[j])
+            Zr.append(Rz); Zt.append(tz)
+        Zr, Zt = jnp.stack(Zr), jnp.stack(Zt)
+        noise = jax.vmap(so3_exp)(
+            jnp.asarray(r.normal(0, 0.01, (S, 3)), jnp.float32))
+        R0 = jnp.einsum("sij,sjk->sik", R_true, noise)
+        t0 = t_true + jnp.asarray(r.normal(0, 1.0, (S, 3)), jnp.float32)
+        ms, res = timed(
+            jax.jit(lambda a, b: pose_graph_optimize(a, b, ei, ej, Zr, Zt,
+                                                     iters=20)), R0, t0)
+        emit("pose_graph_S16_20iter", ms=round(ms, 3), rms=float(res.rms),
+             ok=bool(float(res.rms) < 1e-4))
+    except Exception:
+        emit("pose_graph_S16_20iter", error=traceback.format_exc()[-1500:])
+
+    try:
+        r = np.random.default_rng(7)
+        S, L, K = 6, 4096, 3
+        R_true, t_true = [jnp.eye(3)], [jnp.zeros(3)]
+        for s in range(1, S):
+            R_true.append(so3_exp(jnp.asarray(r.uniform(-0.3, 0.3, 3),
+                                              jnp.float32)))
+            t_true.append(jnp.asarray(r.uniform(-50, 50, 3), jnp.float32))
+        R_true, t_true = jnp.stack(R_true), jnp.stack(t_true)
+        X_true = jnp.asarray(r.uniform(-100, 100, (L, 3)), jnp.float32)
+        obs_s = jnp.asarray(r.integers(0, S, (L, K)), jnp.int32)
+        Rs, ts = R_true[obs_s], t_true[obs_s]
+        p = jnp.einsum("lkij,lki->lkj", Rs, X_true[:, None, :] - ts)
+        p = p + jnp.asarray(r.normal(0, 0.01, p.shape), jnp.float32)
+        obs_w = jnp.ones((L, K), jnp.float32)
+        noise = jax.vmap(so3_exp)(
+            jnp.asarray(r.normal(0, 0.02, (S, 3)), jnp.float32))
+        R0 = jnp.einsum("sij,sjk->sik", R_true, noise)
+        t0 = t_true + jnp.asarray(r.normal(0, 2.0, (S, 3)), jnp.float32)
+        X0 = X_true + jnp.asarray(r.normal(0, 2.0, (L, 3)), jnp.float32)
+        ms, res = timed(
+            jax.jit(lambda a, b, c: bundle_adjust_reference(
+                a, b, c, obs_s, p, obs_w, iters=10)), R0, t0, X0)
+        emit("schur_ba_S6_L4096_10iter", ms=round(ms, 3),
+             rms=float(res.rms), ok=bool(float(res.rms) < 0.05))
+    except Exception:
+        emit("schur_ba_S6_L4096_10iter", error=traceback.format_exc()[-1500:])
+
+    emit("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,3 +18,11 @@ from slr.calib.zhang import (
     CalibrationResult,
 )
 from slr.calib.stereo import stereo_calibrate, calibrate_projector
+from slr.calib.corners import (
+    detect_chessboard,
+    corner_candidates,
+    refine_subpix,
+    order_corner_grid,
+)
+from slr.calib.proj_corners import projector_corners_from_decode
+from slr.calib.pipeline import calibrate_from_images, ImageCalibResult

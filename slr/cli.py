@@ -68,18 +68,14 @@ def cmd_scan(args):
 
 
 def cmd_calibrate(args):
+    import dataclasses
+
+    import jax
     import jax.numpy as jnp
-    from slr.calib import (
-        calibrate_camera, calibrate_projector, stereo_calibrate,
-        synth_board_views,
-    )
-    from slr.geom.camera import make_camera, project
-    from slr.geom.se3 import so3_exp
     from slr.pipeline import Session
 
     sess = Session(args.session)
     c = sess.config.calib
-    # synthetic calibration session against the default rig ground truth
     from slr.synth.render import default_rig
 
     cam_true, proj_true = default_rig(
@@ -87,20 +83,61 @@ def cmd_calibrate(args):
         proj_w=sess.config.pattern.proj_width,
         proj_h=sess.config.pattern.proj_height,
     )
-    obj, img_c, rvs, tvs = synth_board_views(
-        cam_true, c.board_cols, c.board_rows, c.square_size,
-        n_views=8, seed=0, noise_px=args.noise_px,
-    )
-    img_p = []
-    for v in range(img_c.shape[0]):
-        R = so3_exp(rvs[v])
-        pts = (R @ obj.T).T + tvs[v]
-        uv, _ = project(proj_true, pts)
-        img_p.append(uv)
-    img_p = jnp.stack(img_p)
-    cam_res = calibrate_camera(obj, img_c, lm_iters=c.lm_iters)
-    proj_res = calibrate_projector(obj, img_p, lm_iters=c.lm_iters)
-    st = stereo_calibrate(obj, img_c, img_p, cam_res, proj_res)
+
+    if getattr(args, "synthetic_corners", False):
+        # legacy fast path: corner coordinates injected analytically —
+        # exercises the solvers only, not detection/decode
+        from slr.calib import (
+            calibrate_camera, calibrate_projector, stereo_calibrate,
+            synth_board_views,
+        )
+        from slr.geom.camera import project
+        from slr.geom.se3 import so3_exp
+
+        obj, img_c, rvs, tvs = synth_board_views(
+            cam_true, c.board_cols, c.board_rows, c.square_size,
+            n_views=8, seed=0, noise_px=args.noise_px,
+        )
+        img_p = []
+        for v in range(img_c.shape[0]):
+            R = so3_exp(rvs[v])
+            pts = (R @ obj.T).T + tvs[v]
+            uv, _ = project(proj_true, pts)
+            img_p.append(uv)
+        img_p = jnp.stack(img_p)
+        cam_res = calibrate_camera(obj, img_c, lm_iters=c.lm_iters)
+        proj_res = calibrate_projector(obj, img_p, lm_iters=c.lm_iters)
+        st = stereo_calibrate(obj, img_c, img_p, cam_res, proj_res)
+    else:
+        # full physical procedure (SURVEY.md E2): render the board under
+        # white light + the pattern stack, detect corners, decode, solve
+        from slr.calib import calibrate_from_images
+        from slr.synth import board_poses, render_board_view
+
+        p = sess.config.pattern
+        if p.coding != "gray_phase":
+            # calibration is its own capture: decode-at-corners needs
+            # row+column gray_phase coding whatever the scan coding is
+            p = dataclasses.replace(p, coding="gray_phase")
+        if p.row_phase_steps == 0:
+            # projector calibration needs sub-pixel rows: add row coding
+            p = dataclasses.replace(p, row_gray_bits=max(p.row_gray_bits, 5),
+                                    row_phase_steps=max(p.phase_steps, 4))
+        whites, stacks = [], []
+        for i, (R, t) in enumerate(board_poses(
+                8, c.board_cols, c.board_rows, c.square_size, seed=0)):
+            bv = render_board_view(
+                cam_true, proj_true, p, R, t,
+                c.board_cols, c.board_rows, c.square_size,
+                sess.config.cam_height, sess.config.cam_width,
+                noise_std=args.noise_px * 0.01,
+                key=jax.random.PRNGKey(i))
+            whites.append(bv.white_image)
+            stacks.append(bv.scan.frames)
+        res = calibrate_from_images(
+            whites, stacks, c.board_cols, c.board_rows, c.square_size, p,
+            lm_iters=c.lm_iters)
+        st = res.stereo
     sess.set_calibration(st.cam, st.proj, {"rms": float(st.rms)})
     print(f"calibrated: joint rms {float(st.rms):.4f} px "
           f"-> {args.session}/calibration.json")
@@ -150,6 +187,18 @@ def cmd_fuse(args):
 def cmd_demo(args):
     """Full synthetic end-to-end: 3 scans -> reconstruct -> register -> fuse."""
     ns = argparse.Namespace
+    coding = getattr(args, "coding", "gray_phase")
+    if coding != "gray_phase":
+        import dataclasses
+
+        from slr.config import PatternConfig, ScanConfig
+        from slr.pipeline import Session
+
+        pat = (PatternConfig(coding="multifreq", phase_steps=4)
+               if coding == "multifreq"
+               else PatternConfig(phase_steps=0))   # "gray": code-only
+        Session(args.out, config=dataclasses.replace(
+            Session(args.out).config, pattern=pat))
     cmd_calibrate(ns(session=args.out, noise_px=0.0))
     for pose in range(args.scans):
         cmd_scan(ns(session=args.out, scene="bumps", pose=pose, noise=0.005))
@@ -246,6 +295,10 @@ def main(argv=None):
     p = sub.add_parser("calibrate", help="device-resident Zhang calibration")
     p.add_argument("--session", required=True)
     p.add_argument("--noise-px", type=float, default=0.0, dest="noise_px")
+    p.add_argument("--synthetic-corners", action="store_true",
+                   dest="synthetic_corners",
+                   help="skip detection/decode; feed analytically projected "
+                        "corner coordinates straight to the solvers")
     p.set_defaults(fn=cmd_calibrate)
 
     p = sub.add_parser("reconstruct", help="decode+triangulate one scan")
@@ -273,6 +326,9 @@ def main(argv=None):
     p.add_argument("--out", default="/tmp/slr_demo")
     p.add_argument("--scans", type=int, default=3)
     p.add_argument("--no-features", action="store_true")
+    p.add_argument("--coding", default="gray_phase",
+                   choices=["gray_phase", "gray", "multifreq"],
+                   help="temporal coding family (gray = Gray code only)")
     p.set_defaults(fn=cmd_demo)
 
     p = sub.add_parser("import-scan", help="ingest a scan image folder")

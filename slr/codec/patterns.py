@@ -40,6 +40,13 @@ class DecodeResult(NamedTuple):
 def generate_pattern_stack(cfg: PatternConfig):
     """(num_frames, proj_height, proj_width) float32 in [0,1]."""
     W, H = cfg.proj_width, cfg.proj_height
+    if cfg.coding == "multifreq":
+        from slr.codec.multifreq import generate_multifreq_stack
+
+        stack = generate_multifreq_stack(W, H, cfg.mf_pitches,
+                                         steps=cfg.phase_steps)
+        assert stack.shape[0] == cfg.num_frames, (stack.shape, cfg.num_frames)
+        return stack
     frames = [jnp.ones((H, W), jnp.float32), jnp.zeros((H, W), jnp.float32)]
 
     col = generate_gray_patterns(W, cfg.gray_bits, half_shift=cfg.phase_steps > 0,
@@ -50,7 +57,8 @@ def generate_pattern_stack(cfg: PatternConfig):
         frames.append(1.0 - col_imgs)
 
     if cfg.row_gray_bits:
-        row = generate_gray_patterns(H, cfg.row_gray_bits, half_shift=False,
+        row = generate_gray_patterns(H, cfg.row_gray_bits,
+                                     half_shift=cfg.row_phase_steps > 0,
                                      antialias=True)
         row_imgs = jnp.broadcast_to(row[:, :, None], (cfg.row_gray_bits, H, W))
         frames.append(row_imgs)
@@ -60,6 +68,12 @@ def generate_pattern_stack(cfg: PatternConfig):
     if cfg.phase_steps:
         ph = generate_phase_patterns(W, cfg.fringe_pitch, cfg.phase_steps)
         frames.append(jnp.broadcast_to(ph[:, None, :], (cfg.phase_steps, H, W)))
+
+    if cfg.row_phase_steps:
+        rp = generate_phase_patterns(H, cfg.row_fringe_pitch,
+                                     cfg.row_phase_steps)
+        frames.append(
+            jnp.broadcast_to(rp[:, :, None], (cfg.row_phase_steps, H, W)))
 
     flat = [f[None] if f.ndim == 2 else f for f in frames]
     stack = jnp.concatenate(flat, axis=0)
@@ -80,6 +94,8 @@ def _slices(cfg: PatternConfig):
             s["row_inv"] = (i, i + cfg.row_gray_bits); i += cfg.row_gray_bits
     if cfg.phase_steps:
         s["phase"] = (i, i + cfg.phase_steps); i += cfg.phase_steps
+    if cfg.row_phase_steps:
+        s["row_phase"] = (i, i + cfg.row_phase_steps); i += cfg.row_phase_steps
     assert i == cfg.num_frames
     return s
 
@@ -99,6 +115,14 @@ def decode_stack(frames, cfg: PatternConfig, dec: DecodeConfig,
         m = ((1 << bit_depth) - 1 if bit_depth is not None
              else jnp.iinfo(frames.dtype).max)
         frames = frames.astype(jnp.float32) / float(m)
+    if cfg.coding == "multifreq":
+        from slr.codec.multifreq import decode_multifreq
+
+        x_p, mask, quality = decode_multifreq(
+            frames, cfg.mf_pitches, steps=cfg.phase_steps,
+            black_threshold=dec.black_threshold,
+            modulation_threshold=dec.modulation_threshold)
+        return DecodeResult(x_p=x_p, y_p=None, mask=mask, quality=quality)
     s = _slices(cfg)
     white, black = frames[s["white"]], frames[s["black"]]
 
@@ -146,7 +170,17 @@ def decode_stack(frames, cfg: PatternConfig, dec: DecodeConfig,
             dec.black_threshold, dec.white_threshold,
         )
         mask = mask & row_mask
-        row_pitch = cfg.proj_height / (1 << cfg.row_gray_bits)
-        y_p = (row_code.astype(jnp.float32) + 0.5) * row_pitch
+        if cfg.row_phase_steps:
+            rpa, rpb = s["row_phase"]
+            rphi, rmod = decode_phase(frames[rpa:rpb], cfg.row_phase_steps)
+            mask = mask & (rmod > dec.modulation_threshold)
+            rPhi = unwrap_temporal(rphi, row_code, cfg.row_gray_bits,
+                                   half_shifted=True)
+            y_p = rPhi * cfg.row_fringe_pitch / TWO_PI
+            h_coded = cfg.row_fringe_pitch * (1 << cfg.row_gray_bits)
+            y_p = jnp.where(y_p > h_coded - 0.5, y_p - h_coded, y_p)
+        else:
+            row_pitch = cfg.proj_height / (1 << cfg.row_gray_bits)
+            y_p = (row_code.astype(jnp.float32) + 0.5) * row_pitch
 
     return DecodeResult(x_p=x_p, y_p=y_p, mask=mask, quality=quality)

@@ -26,13 +26,45 @@ class PatternConfig:
 
     proj_width: int = 1024
     proj_height: int = 768
+    # temporal coding family: "gray_phase" = Gray code resolves the fringe
+    # order of a single-frequency phase shift (the reference's scheme;
+    # phase_steps = 0 degrades it to Gray-only); "multifreq" = hierarchical
+    # multi-frequency phase-only coding (SURVEY.md 4.1 "single or multi
+    # frequency") — no Gray frames, mf_levels fringe sets at geometrically
+    # decreasing pitches, coarsest spanning the full width.
+    coding: str = "gray_phase"
     # column stripes: 2**gray_bits across the width; with phase shift the
     # fringe pitch is proj_width / 2**gray_bits — keep it >= ~8 px so the
     # sinusoid stays resolvable (7 bits -> 8 px pitch at 1024)
     gray_bits: int = 7
     row_gray_bits: int = 0       # 0 = column-only coding (plane triangulation)
     phase_steps: int = 4         # N-step phase shift; 0 disables phase shift
+    # N-step horizontal fringes for sub-pixel projector ROWS (requires
+    # row_gray_bits > 0 to resolve the fringe order). Used by projector
+    # calibration and the midpoint triangulation mode.
+    row_phase_steps: int = 0
     use_inverse: bool = True     # project inverted Gray patterns as well
+    # multifreq knobs: mf_levels pitch levels, each ratio mf_ratio finer
+    # than the previous (level 0 spans proj_width, so its phase is already
+    # absolute). Keep mf_ratio small enough that the phase noise floor
+    # cannot mis-round a fringe order (sigma_Phi * ratio < pi).
+    mf_levels: int = 3
+    mf_ratio: float = 8.0
+
+    def __post_init__(self):
+        if self.coding not in ("gray_phase", "multifreq"):
+            raise ValueError(f"unknown coding {self.coding!r}")
+        if self.coding == "multifreq":
+            if self.phase_steps < 3:
+                raise ValueError("multifreq coding needs phase_steps >= 3")
+            if self.row_gray_bits or self.row_phase_steps:
+                raise ValueError("multifreq coding is column-only: row "
+                                 "coding is not supported (use gray_phase)")
+            if self.mf_levels < 1:
+                raise ValueError("multifreq coding needs mf_levels >= 1")
+        if self.row_phase_steps and not self.row_gray_bits:
+            raise ValueError("row_phase_steps needs row_gray_bits > 0 "
+                             "to resolve the row fringe order")
 
     @property
     def fringe_pitch(self) -> float:
@@ -40,12 +72,27 @@ class PatternConfig:
         return self.proj_width / (1 << self.gray_bits)
 
     @property
+    def row_fringe_pitch(self) -> float:
+        """Row stripe pitch p = H / 2**row_bits (row fringe period)."""
+        return self.proj_height / (1 << self.row_gray_bits)
+
+    @property
+    def mf_pitches(self) -> Tuple[float, ...]:
+        """Multifreq pitch ladder: level 0 spans the full projector width."""
+        return tuple(self.proj_width / (self.mf_ratio ** i)
+                     for i in range(self.mf_levels))
+
+    @property
     def num_frames(self) -> int:
-        """Total frames: white + black + gray(+inv) [+ row gray] + phase."""
+        """white + black + gray(+inv) [+ row gray(+inv)] + phase [+ row phase]
+        (gray_phase), or white + black + mf_levels * phase_steps (multifreq)."""
+        if self.coding == "multifreq":
+            return 2 + self.mf_levels * self.phase_steps
         n = 2
         n += self.gray_bits * (2 if self.use_inverse else 1)
         n += self.row_gray_bits * (2 if self.use_inverse else 1)
         n += self.phase_steps
+        n += self.row_phase_steps
         return n
 
 

@@ -77,8 +77,9 @@ def _gray_decode_block(ld, first: int, bits: int, tau_white, certain):
 
 
 def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
-            *, bits: int, row_bits: int, steps: int, tile_h: int,
-            undistort_iters: int, scale: float):
+            *, bits: int, row_bits: int, steps: int, row_steps: int,
+            tile_h: int, undistort_iters: int, scale: float,
+            mf_pitches: tuple = ()):
     # Frame loader: integer (8-bit camera) stacks are normalized to [0,1]
     # in-register — the HBM read is 1 byte/px instead of 4 and all
     # downstream math/thresholds stay in normalized units.
@@ -109,45 +110,43 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     contrast = white - black
     certain = contrast > tau_black
 
-    # --- column Gray decode ---
-    b, certain = _gray_decode_block(ld, 2, bits, tau_white, certain)
-
-    # --- optional row Gray decode (aligned layout) ---
-    y_p = None
-    if row_bits:
-        rb, certain = _gray_decode_block(
-            ld, 2 + 2 * bits, row_bits, tau_white, certain
-        )
-        y_p = (rb.astype(jnp.float32) + 0.5) * row_pitch
-
-    # --- N-step phase (or Gray-only half-stripe centres when steps==0) ---
-    if steps:
-        S = jnp.zeros(white.shape, jnp.float32)
-        C = jnp.zeros(white.shape, jnp.float32)
-        base = 2 + 2 * bits + 2 * row_bits
-        for k in range(steps):
-            d = TWO_PI * k / steps
-            fk = ld(base + k)
-            S = S + fk * math.sin(d)
-            C = C + fk * math.cos(d)
-        phi = _atan2(S, C)
-        phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
-        modulation = (2.0 / steps) * jnp.sqrt(S * S + C * C)
-        mask = certain & (modulation > tau_mod)
-
-        # --- cyclic half-shifted temporal unwrap ---
-        n = 1 << bits
-        k_ord = b - (phi >= math.pi).astype(jnp.int32)
-        k_ord = jnp.where(k_ord < 0, k_ord + n, k_ord)
-        Phi = phi + TWO_PI * k_ord.astype(jnp.float32)
-        x_p = Phi * (pitch / TWO_PI)
-        w_coded = pitch * n
-        x_p = jnp.where(x_p > w_coded - 0.5, x_p - w_coded, x_p)
-    else:
-        # config-1 Gray-only decode: stripe centre, aligned layout
-        x_p = (b.astype(jnp.float32) + 0.5) * pitch
-        modulation = contrast
+    if mf_pitches:
+        # --- multifreq hierarchical phase unwrap (no Gray frames) ---
         mask = certain
+        Phi = None
+        modulation = None
+        for li, p_l in enumerate(mf_pitches):
+            S = jnp.zeros(white.shape, jnp.float32)
+            C = jnp.zeros(white.shape, jnp.float32)
+            for k in range(steps):
+                d = TWO_PI * k / steps
+                fk = ld(2 + li * steps + k)
+                S = S + fk * math.sin(d)
+                C = C + fk * math.cos(d)
+            phi = _atan2(S, C)
+            phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)  # [0, 2pi)
+            B = (2.0 / steps) * jnp.sqrt(S * S + C * C)
+            mask = mask & (B > tau_mod)
+            if Phi is None:
+                Phi = phi            # coarsest pitch spans W: absolute
+                modulation = B
+            else:
+                prev_in_cur = Phi * (mf_pitches[li - 1] / p_l)
+                k_ord = jnp.round((prev_in_cur - phi) / TWO_PI)
+                Phi = phi + TWO_PI * k_ord
+                modulation = jnp.minimum(modulation, B)
+        x_p = Phi * (mf_pitches[-1] / TWO_PI)
+        # atan2 rounding at x=0 can wrap to the top of the unambiguous
+        # range (one coarse period); fold it back
+        x_p = jnp.where(x_p > mf_pitches[0] - 0.5, x_p - mf_pitches[0], x_p)
+        y_p = None
+    else:
+        # --- column Gray decode + N-step phase (the reference scheme) ---
+        x_p, y_p, mask, modulation = _gray_phase_decode(
+            ld, certain, contrast,
+            bits=bits, row_bits=row_bits, steps=steps, row_steps=row_steps,
+            tau_white=tau_white, tau_mod=tau_mod,
+            pitch=pitch, row_pitch=row_pitch)
 
     # --- camera ray (undistort); unnormalized d1 = (xn, yn, 1) so the
     # ray parameter equals camera depth z ---
@@ -206,6 +205,79 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     xp_ref[:] = x_p
 
 
+def _gray_phase_decode(ld, certain, contrast, *, bits, row_bits, steps,
+                       row_steps, tau_white, tau_mod, pitch, row_pitch):
+    """Gray(+inverse) decode + N-step phase + cyclic half-shifted unwrap —
+    the reference coding scheme. Returns (x_p, y_p, mask, modulation)."""
+    shape = contrast.shape
+    b, certain = _gray_decode_block(ld, 2, bits, tau_white, certain)
+
+    # --- optional row Gray decode (y_p computed after the mask exists) ---
+    rb = None
+    if row_bits:
+        rb, certain = _gray_decode_block(
+            ld, 2 + 2 * bits, row_bits, tau_white, certain
+        )
+
+    # --- N-step phase (or Gray-only half-stripe centres when steps==0) ---
+    if steps:
+        S = jnp.zeros(shape, jnp.float32)
+        C = jnp.zeros(shape, jnp.float32)
+        base = 2 + 2 * bits + 2 * row_bits
+        for k in range(steps):
+            d = TWO_PI * k / steps
+            fk = ld(base + k)
+            S = S + fk * math.sin(d)
+            C = C + fk * math.cos(d)
+        phi = _atan2(S, C)
+        phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
+        modulation = (2.0 / steps) * jnp.sqrt(S * S + C * C)
+        mask = certain & (modulation > tau_mod)
+
+        # --- cyclic half-shifted temporal unwrap ---
+        n = 1 << bits
+        k_ord = b - (phi >= math.pi).astype(jnp.int32)
+        k_ord = jnp.where(k_ord < 0, k_ord + n, k_ord)
+        Phi = phi + TWO_PI * k_ord.astype(jnp.float32)
+        x_p = Phi * (pitch / TWO_PI)
+        w_coded = pitch * n
+        x_p = jnp.where(x_p > w_coded - 0.5, x_p - w_coded, x_p)
+    else:
+        # config-1 Gray-only decode: stripe centre, aligned layout
+        x_p = (b.astype(jnp.float32) + 0.5) * pitch
+        modulation = contrast
+        mask = certain
+
+    # --- projector row: half-stripe centres, or sub-pixel via the row
+    # N-step fringes (half-shifted cyclic unwrap, mirroring the columns)
+    y_p = None
+    if row_bits:
+        if row_steps:
+            base_r = 2 + 2 * bits + 2 * row_bits + steps
+            Sr = jnp.zeros(shape, jnp.float32)
+            Cr = jnp.zeros(shape, jnp.float32)
+            for k in range(row_steps):
+                d = TWO_PI * k / row_steps
+                fk = ld(base_r + k)
+                Sr = Sr + fk * math.sin(d)
+                Cr = Cr + fk * math.cos(d)
+            rphi = _atan2(Sr, Cr)
+            rphi = jnp.where(rphi < 0.0, rphi + TWO_PI, rphi)
+            rmod = (2.0 / row_steps) * jnp.sqrt(Sr * Sr + Cr * Cr)
+            mask = mask & (rmod > tau_mod)
+            n_r = 1 << row_bits
+            k_r = rb - (rphi >= math.pi).astype(jnp.int32)
+            k_r = jnp.where(k_r < 0, k_r + n_r, k_r)
+            y_p = (rphi + TWO_PI * k_r.astype(jnp.float32)) * (
+                row_pitch / TWO_PI)
+            h_coded = row_pitch * n_r
+            y_p = jnp.where(y_p > h_coded - 0.5, y_p - h_coded, y_p)
+        else:
+            y_p = (rb.astype(jnp.float32) + 0.5) * row_pitch
+
+    return x_p, y_p, mask, modulation
+
+
 @partial(jax.jit, static_argnames=("cfg", "dec", "z_bounds", "tile_h",
                                    "undistort_iters", "bit_depth"))
 def fused_decode_triangulate(
@@ -222,14 +294,17 @@ def fused_decode_triangulate(
 ) -> FusedScanOut:
     """One-pass scan reconstruction (requires inverse Gray patterns).
     phase_steps == 0 -> Gray-only half-stripe decode (config 1);
-    row_gray_bits == 0 -> column-plane mode, > 0 -> fused midpoint mode.
+    row_gray_bits == 0 -> column-plane mode, > 0 -> fused midpoint mode;
+    cfg.coding == "multifreq" -> hierarchical phase-only decode (no Gray
+    frames), column-plane triangulation.
 
     ``frames`` may be float32 in [0,1] or uint8 (raw 8-bit camera data);
     the uint8 path reads 1 byte/px from HBM and normalizes in-register,
     cutting the kernel's HBM traffic ~4x. ``bit_depth`` overrides the
     ADC range for sensors delivering fewer bits than their integer
     container (10/12-bit data in uint16), as in decode_stack."""
-    assert cfg.use_inverse
+    multifreq = cfg.coding == "multifreq"
+    assert multifreq or cfg.use_inverse
     F, H, W = frames.shape
     assert F == cfg.num_frames, (F, cfg.num_frames)
     if jnp.issubdtype(frames.dtype, jnp.integer):
@@ -273,9 +348,11 @@ def fused_decode_triangulate(
         bits=cfg.gray_bits,
         row_bits=cfg.row_gray_bits,
         steps=cfg.phase_steps,
+        row_steps=cfg.row_phase_steps,
         tile_h=tile_h,
         undistort_iters=undistort_iters,
         scale=scale,
+        mf_pitches=cfg.mf_pitches if multifreq else (),
     )
     grid = (Hp // tile_h,)
     out_shape = (
@@ -284,10 +361,17 @@ def fused_decode_triangulate(
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
     )
-    flops_per_px = (
-        40 + 4 * (cfg.gray_bits + cfg.row_gray_bits) + 6 * cfg.phase_steps
-        + 14 * undistort_iters * (2 if cfg.row_gray_bits else 1)
-    )
+    if multifreq:
+        flops_per_px = (
+            40 + (6 * cfg.phase_steps + 20) * cfg.mf_levels
+            + 14 * undistort_iters
+        )
+    else:
+        flops_per_px = (
+            40 + 4 * (cfg.gray_bits + cfg.row_gray_bits)
+            + 6 * (cfg.phase_steps + cfg.row_phase_steps)
+            + 14 * undistort_iters * (2 if cfg.row_gray_bits else 1)
+        )
     pts, mask, qual, xp = pl.pallas_call(
         kern,
         grid=grid,

@@ -88,6 +88,10 @@ def quality_unwrap_tiled(Phi, quality, mask, iters: int = 8,
     """
     if halo is None:
         halo = iters
+    # Mosaic requires HBM->VMEM DMA slice lengths and in-register row
+    # slices to be sublane-aligned (8 rows for f32): round the halo up —
+    # extra halo rows only widen the exact-repair margin (halo >= iters).
+    halo = int(round_up(max(halo, 1), 8))
     H, W = Phi.shape
     Wp = round_up(W, 128)
     Hp = round_up(H, tile_h)

@@ -94,9 +94,12 @@ def reconstruct_dense(
     x_p = out.x_p
     pts = jnp.moveaxis(out.points, 0, -1)
     if spatial_iters:
-        Phi = x_p * (TWO_PI / cfg.fringe_pitch)
+        # finest fringe period: order errors are +/- one of these
+        pitch = (cfg.mf_pitches[-1] if cfg.coding == "multifreq"
+                 else cfg.fringe_pitch)
+        Phi = x_p * (TWO_PI / pitch)
         Phi = quality_unwrap_pallas(Phi, out.quality, mask, iters=spatial_iters)
-        x_p2 = Phi * (cfg.fringe_pitch / TWO_PI)
+        x_p2 = Phi * (pitch / TWO_PI)
         changed = jnp.abs(x_p2 - x_p) > 1e-6
         H, W = x_p.shape
         v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)

@@ -80,7 +80,8 @@ class Session:
         assert self.cam is not None, "calibrate or set_calibration first"
         frames = self.load_scan(idx)
         p = self.config.pattern
-        if fused and p.phase_steps > 0 and p.use_inverse:
+        if fused and p.phase_steps > 0 and (p.use_inverse
+                                            or p.coding == "multifreq"):
             cloud = reconstruct_dense(
                 frames, self.cam, self.proj, p, self.config.decode,
                 self.config.reconstruct, spatial_iters=spatial_iters,

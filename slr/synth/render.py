@@ -5,6 +5,23 @@ project the 3D point into the projector, bilinearly sample each projected
 pattern there, apply albedo/ambient and optional sensor noise. Exact ground
 truth (true 3D points, true projector coords, true visibility mask) rides
 along for the tests.
+
+Optics model (SURVEY.md section 6 "noise, defocus blur, albedo texture,
+shadowing"):
+
+- **cast shadows**: a projector-space shadow map is built by scatter-min
+  splatting every scene point's projector-frame depth; a point is lit only
+  if nothing nearer the projector claims its projector pixel (within
+  ``shadow_bias``). Shadowed pixels receive ambient light only, so the
+  decode's contrast mask must reject them.
+- **defocus blur**: projected patterns are convolved with a Gaussian PSF of
+  ``defocus_sigma`` projector px; for the analytically-evaluated sinusoidal
+  fringes this is the exact closed form — contrast attenuation by
+  exp(-2 (pi sigma / pitch)^2) with phase preserved.
+- **projector gamma**: ``proj_gamma`` raises the (blurred) pattern
+  luminance to a power, the dominant harmonic-generating nonlinearity of a
+  real DLP chain; N-step phase decoding rejects harmonics except those at
+  kN +/- 1, so larger N suppresses the resulting phase ripple.
 """
 
 from __future__ import annotations
@@ -103,6 +120,40 @@ def _bilinear_sample(img, x, y):
     )
 
 
+def _gauss_blur(imgs, sigma: float):
+    """Separable Gaussian blur of an (F, H, W) stack, 'same' borders."""
+    import math as _math
+
+    r = int(_math.ceil(3.0 * sigma))
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+    F, H, W = imgs.shape
+    lhs = imgs[:, None]                               # (F, 1, H, W)
+    kx = k.reshape(1, 1, 1, -1)
+    ky = k.reshape(1, 1, -1, 1)
+    dn = ("NCHW", "OIHW", "NCHW")
+    out = jax.lax.conv_general_dilated(
+        lhs, kx, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn)
+    out = jax.lax.conv_general_dilated(
+        out, ky, (1, 1), [(r, r), (0, 0)], dimension_numbers=dn)
+    return out[:, 0]
+
+
+def _shadow_map(xp, yp, z_p, in_frustum, proj_w: int, proj_h: int):
+    """Scatter-min projector-space depth map from the scene points.
+
+    Every camera-visible point splats its projector-frame depth onto its
+    nearest projector pixel; a point is shadowed iff some other geometry
+    is nearer the projector along (approximately) the same projector ray.
+    """
+    xi = jnp.clip(jnp.round(xp).astype(jnp.int32), 0, proj_w - 1)
+    yi = jnp.clip(jnp.round(yp).astype(jnp.int32), 0, proj_h - 1)
+    z = jnp.where(in_frustum, z_p, jnp.inf)
+    smap = jnp.full((proj_h, proj_w), jnp.inf, jnp.float32)
+    return smap.at[yi.reshape(-1), xi.reshape(-1)].min(z.reshape(-1))
+
+
 def quantize_frames(frames, dtype=jnp.uint8):
     """Quantize rendered [0,1] frames to raw sensor integers (8-bit ADC by
     default) — the realistic camera output format; the fused kernel and
@@ -111,7 +162,9 @@ def quantize_frames(frames, dtype=jnp.uint8):
     return jnp.clip(jnp.round(frames * m), 0, m).astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ambient", "noise_std"))
+@partial(jax.jit, static_argnames=("cfg", "ambient", "noise_std",
+                                   "cast_shadows", "shadow_bias",
+                                   "defocus_sigma", "proj_gamma"))
 def render_scan(
     cam: Camera,
     proj: Camera,
@@ -121,6 +174,10 @@ def render_scan(
     ambient: float = 0.05,
     noise_std: float = 0.0,
     key: Optional[jax.Array] = None,
+    cast_shadows: bool = False,
+    shadow_bias: float = 2.0,   # scene units; slope tolerance of the test
+    defocus_sigma: float = 0.0,  # projector-optics Gaussian PSF, proj px
+    proj_gamma: float = 1.0,    # projector luminance nonlinearity
 ) -> RenderedScan:
     H, W = depth.shape
     v, u = jnp.meshgrid(
@@ -141,11 +198,22 @@ def render_scan(
         & (xp >= 0) & (xp <= cfg.proj_width - 1)
         & (yp >= 0) & (yp <= cfg.proj_height - 1)
     )
+    if cast_shadows:
+        smap = _shadow_map(xp, yp, z_p, illuminated,
+                           cfg.proj_width, cfg.proj_height)
+        xi = jnp.clip(jnp.round(xp).astype(jnp.int32), 0, cfg.proj_width - 1)
+        yi = jnp.clip(jnp.round(yp).astype(jnp.int32), 0, cfg.proj_height - 1)
+        illuminated = illuminated & (z_p <= smap[yi, xi] + shadow_bias)
 
     patterns = generate_pattern_stack(cfg)          # (F, Hp, Wp)
+    if proj_gamma != 1.0:
+        patterns = jnp.clip(patterns, 0.0, 1.0) ** proj_gamma
+    if defocus_sigma > 0.0:
+        patterns = _gauss_blur(patterns, defocus_sigma)
     sample = jax.vmap(lambda img: _bilinear_sample(img, xp, yp))
     proj_light = sample(patterns)                   # (F, H, W)
-    if cfg.phase_steps:
+
+    def analytic_fringes(coord, pitch: float, steps: int):
         # Evaluate the sinusoidal fringes analytically at the exact
         # projected coordinate instead of bilinearly interpolating the
         # discrete pattern image: a defocused projector emits a continuous
@@ -153,15 +221,50 @@ def render_scan(
         # at integer pixels introduces a systematic, spatially smooth
         # phase warp (measured 0.22 mm RMS at 4 px pitch) that corrupts
         # registration ground truth.
-        k = jnp.arange(cfg.phase_steps, dtype=jnp.float32)
-        ph = (
-            2.0 * jnp.pi * xp[None] / cfg.fringe_pitch
-            - 2.0 * jnp.pi * k[:, None, None] / cfg.phase_steps
-        )
-        analytic = 0.5 + 0.5 * jnp.cos(ph)
-        proj_light = jnp.concatenate(
-            [proj_light[: -cfg.phase_steps], analytic], axis=0
-        )
+        #
+        # Gamma and defocus in closed form: the gamma'd fringe profile
+        # (0.5 + 0.5 cos)^gamma is expanded in a (static) Fourier series
+        # and the Gaussian PSF attenuates harmonic m by
+        # exp(-2 (pi m sigma / pitch)^2). gamma == 1, sigma == 0 reduces
+        # to the plain 0.5 + 0.5 cos(ph) of the ideal projector.
+        import numpy as _np
+
+        k = jnp.arange(steps, dtype=jnp.float32)
+        ph = (2.0 * jnp.pi * coord[None] / pitch
+              - 2.0 * jnp.pi * k[:, None, None] / steps)
+        _n = 256
+        prof = (0.5 + 0.5 * _np.cos(2 * _np.pi * _np.arange(_n) / _n)
+                ) ** proj_gamma
+        coef = _np.fft.rfft(prof) / _n
+        M = 8
+        amps = 2.0 * _np.abs(coef[1:M + 1])
+        phis = _np.angle(coef[1:M + 1])
+        if defocus_sigma > 0.0:
+            m = _np.arange(1, M + 1)
+            amps = amps * _np.exp(
+                -2.0 * (_np.pi * m * defocus_sigma / pitch) ** 2)
+        out = jnp.full_like(ph, float(coef[0].real))
+        for i in range(M):
+            if amps[i] > 1e-7:
+                out = out + float(amps[i]) * jnp.cos(
+                    (i + 1) * ph + float(phis[i]))
+        return out
+
+    if cfg.coding == "multifreq":
+        # white + black sampled from the images; every fringe analytic
+        segs = [proj_light[:2]]
+        for p in cfg.mf_pitches:
+            segs.append(analytic_fringes(xp, p, cfg.phase_steps))
+        proj_light = jnp.concatenate(segs, axis=0)
+    else:
+        ps, rps = cfg.phase_steps, cfg.row_phase_steps
+        if ps or rps:
+            segs = [proj_light[: proj_light.shape[0] - ps - rps]]
+            if ps:
+                segs.append(analytic_fringes(xp, cfg.fringe_pitch, ps))
+            if rps:
+                segs.append(analytic_fringes(yp, cfg.row_fringe_pitch, rps))
+            proj_light = jnp.concatenate(segs, axis=0)
     proj_light = jnp.where(illuminated[None], proj_light, 0.0)
 
     if albedo is None:

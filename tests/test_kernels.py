@@ -217,3 +217,86 @@ def test_fused_kernel_gray_only():
     xerr_gt = jnp.where(valid, jnp.abs(out.x_p - scan.xp_true), 0.0)
     pitch = cfg.proj_width / (1 << cfg.gray_bits)
     assert float(jnp.max(xerr_gt)) < pitch
+
+
+def test_fused_kernel_midpoint_row_phase():
+    """Row N-step fringes (row_phase_steps > 0) give sub-pixel projector
+    rows, so the fused midpoint mode reaches the same sub-mm accuracy as
+    the column-plane mode — vs ~5 mm with half-stripe quantized rows."""
+    cam, proj = default_rig(cam_w=CAM_W, cam_h=CAM_H, proj_w=256, proj_h=192,
+                            baseline=150.0, toe_in_deg=14.0,
+                            proj_dist=[-0.08, 0.02, 0.001, -0.001, 0.0])
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                        row_gray_bits=6, phase_steps=4, row_phase_steps=4)
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=25.0)
+    scan = render_scan(cam, proj, depth, cfg)
+    dec = DecodeConfig()
+    out = fused_decode_triangulate(scan.frames, cam, proj, cfg, dec)
+
+    # parity vs the pure-JAX decode path
+    ref = decode_stack(scan.frames, cfg, dec)
+    both = (np.asarray(out.mask) > 0.5) & np.asarray(ref.mask)
+    assert ((np.asarray(out.mask) > 0.5) ^ np.asarray(ref.mask)).mean() < 0.01
+    xerr = np.abs(np.asarray(out.x_p - ref.x_p))[both]
+    assert xerr.max() < 1e-3
+
+    # sub-mm vs ground truth (row phase removes the row quantization)
+    valid = both & np.asarray(scan.mask_true)
+    pts = np.moveaxis(np.asarray(out.points), 0, -1)
+    err = np.linalg.norm(pts - np.asarray(scan.points_true), axis=-1)[valid]
+    rms = float(np.sqrt((err ** 2).mean()))
+    assert rms < 0.1, rms
+
+
+def test_row_phase_decode_subpixel():
+    """decode_stack with row_phase_steps recovers yp_true sub-pixel under
+    sensor noise (the projector-calibration decode path needs this)."""
+    cam, proj, _, _ = _setup()
+    # 5 row bits -> 6 px row pitch: the N-step phase supplies sub-pixel
+    # precision, so a coarser row code just buys noise margin at the
+    # antialiased code edges (3 px stripes leave |pat - inv| within
+    # tau_white of the noise floor on too many pixels)
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                        row_gray_bits=5, phase_steps=4, row_phase_steps=4)
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=25.0)
+    scan = render_scan(cam, proj, depth, cfg, noise_std=0.01,
+                       key=jax.random.PRNGKey(3))
+    res = decode_stack(scan.frames, cfg, DecodeConfig())
+    valid = np.asarray(res.mask) & np.asarray(scan.mask_true)
+    assert valid.mean() > 0.4
+    ey = np.abs(np.asarray(res.y_p - scan.yp_true))[valid]
+    # noise at the phi ~ pi decision boundary flips a rare fringe order
+    # (the repair pass exists for those); everything else is sub-pixel
+    order_errs = (ey > 1.0).mean()
+    assert order_errs < 2e-3, order_errs
+    inliers = ey[ey <= 1.0]
+    assert float(np.sqrt((inliers ** 2).mean())) < 0.05
+
+
+def test_fused_kernel_multifreq():
+    """Multifreq (phase-only hierarchical) fused kernel: parity vs
+    decode_stack and sub-mm RMS vs ground truth."""
+    cam, proj = default_rig(cam_w=CAM_W, cam_h=CAM_H, proj_w=256, proj_h=192,
+                            baseline=150.0, toe_in_deg=14.0)
+    cfg = PatternConfig(proj_width=256, proj_height=192, coding="multifreq",
+                        phase_steps=4, mf_levels=3, mf_ratio=6.0)
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=25.0)
+    scan = render_scan(cam, proj, depth, cfg, noise_std=0.005,
+                       key=jax.random.PRNGKey(2))
+    dec = DecodeConfig()
+    out = fused_decode_triangulate(scan.frames, cam, proj, cfg, dec)
+
+    ref = decode_stack(scan.frames, cfg, dec)
+    both = (np.asarray(out.mask) > 0.5) & np.asarray(ref.mask)
+    assert ((np.asarray(out.mask) > 0.5) ^ np.asarray(ref.mask)).mean() < 0.01
+    xerr = np.abs(np.asarray(out.x_p - ref.x_p))[both]
+    assert xerr.max() < 1e-3, xerr.max()
+    qerr = np.abs(np.asarray(out.quality - ref.quality))[both]
+    assert qerr.max() < 1e-4
+
+    valid = both & np.asarray(scan.mask_true)
+    assert valid.mean() > 0.3
+    pts = np.moveaxis(np.asarray(out.points), 0, -1)
+    err = np.linalg.norm(pts - np.asarray(scan.points_true), axis=-1)[valid]
+    rms = float(np.sqrt((err ** 2).mean()))
+    assert rms < 0.5, rms

@@ -218,3 +218,45 @@ def test_config4_projective_icp():
         t_err = float(jnp.linalg.norm(reg.t[s] - t_m))
         assert rot_err < 0.3, (s, rot_err)
         assert t_err < 1.0, (s, t_err)
+
+
+def test_multifreq_golden_dense():
+    """Multifreq coding as a full pipeline capability (VERDICT r1 #5):
+    reconstruct_dense (fused kernel) on a multifreq scan, sub-mm RMS."""
+    cam, proj = _rig()
+    cfg = PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H,
+                        coding="multifreq", phase_steps=4,
+                        mf_levels=3, mf_ratio=6.0)
+    scan = render_scan(cam, proj, _scene(cam), cfg, noise_std=0.005,
+                       key=jax.random.PRNGKey(6))
+    cloud = reconstruct_dense(scan.frames, cam, proj, cfg)
+    valid = cloud.mask & scan.mask_true
+    assert float(jnp.mean(valid.astype(jnp.float32))) > 0.3
+    err = jnp.where(valid, jnp.linalg.norm(cloud.points - scan.points_true,
+                                           axis=-1), 0.0)
+    rms = float(jnp.sqrt(jnp.sum(err * err) / jnp.sum(valid)))
+    assert rms < 1.0, rms  # sub-mm, same bound as config 2
+
+
+def test_multifreq_session_demo(tmp_path):
+    """Session round trip with coding=multifreq: scan file -> reconstruct
+    (fused path) -> valid organized cloud (the CLI demo path)."""
+    import dataclasses
+
+    cam, proj = _rig()
+    cfg = ScanConfig(
+        pattern=PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H,
+                              coding="multifreq", phase_steps=4,
+                              mf_levels=3, mf_ratio=6.0),
+        cam_width=CAM_W, cam_height=CAM_H)
+    sess = Session(tmp_path / "s", config=cfg)
+    sess.set_calibration(cam, proj, {"source": "truth"})
+    scan = render_scan(cam, proj, _scene(cam), cfg.pattern,
+                       noise_std=0.005, key=jax.random.PRNGKey(7))
+    sess.add_scan(scan.frames)
+    cloud = sess.reconstruct(0, fused=True)
+    valid = np.asarray(cloud.mask) & np.asarray(scan.mask_true)
+    assert valid.mean() > 0.3
+    err = np.linalg.norm(
+        np.asarray(cloud.points) - np.asarray(scan.points_true), axis=-1)[valid]
+    assert float(np.sqrt((err ** 2).mean())) < 1.0
