@@ -167,7 +167,9 @@ def cmd_register(args):
     from slr.pipeline import Session
 
     sess = Session(args.session)
-    reg = sess.register(use_features=not args.no_features)
+    reg = sess.register(use_features=not args.no_features,
+                        loop_closures=not getattr(args, "no_loop_closures",
+                                                  False))
     print(f"registered {sess.cloud_count()} scans; "
           f"icp rms {np.asarray(reg.icp_rms).round(4).tolist()}, "
           f"pose-graph rms {float(reg.pg_rms):.5f}")
@@ -312,6 +314,8 @@ def main(argv=None):
     p = sub.add_parser("register", help="align all reconstructed scans")
     p.add_argument("--session", required=True)
     p.add_argument("--no-features", action="store_true")
+    p.add_argument("--no-loop-closures", action="store_true",
+                   help="chain odometry only (skip last<->first/skip edges)")
     p.set_defaults(fn=cmd_register)
 
     p = sub.add_parser("fuse", help="merge registered scans into one model")

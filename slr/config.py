@@ -142,7 +142,10 @@ class RegistrationConfig:
     """Feature+RANSAC coarse alignment and ICP refinement (SURVEY 4.6)."""
 
     ransac_iters: int = 256
-    ransac_inlier_dist: float = 2.0
+    # NOTE: matched keypoints are distinct subsample draws, so a perfect
+    # alignment still leaves pairs ~one point-spacing apart; the RANSAC
+    # inlier radius must be a few spacings (ICP owns fine accuracy)
+    ransac_inlier_dist: float = 5.0
     icp_iters: int = 20
     icp_max_corr_dist: float = 10.0
     icp_sample_points: int = 4096

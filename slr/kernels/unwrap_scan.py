@@ -43,32 +43,26 @@ def _kernel(phi_ref, q_ref, mask_ref, out_ref, *, iters: int):
     out_ref[:] = Phi
 
 
-def _tiled_kernel(phi_hbm, q_hbm, m_hbm, out_ref, s_phi, s_q, s_m, sems,
-                  *, iters: int, tile_h: int, halo: int):
-    """One row tile: DMA a halo'd block HBM->VMEM, run all sweeps in
-    VMEM, write back the interior rows only."""
-    i = pl.program_id(0)
-    size = tile_h + 2 * halo
-    # inputs are pre-padded by `halo` rows top+bottom, so the halo'd
-    # block of tile i starts at row i*tile_h in padded coordinates
-    cp = [
-        pltpu.make_async_copy(src.at[pl.ds(i * tile_h, size)], dst,
-                              sems.at[k])
-        for k, (src, dst) in enumerate(
-            ((phi_hbm, s_phi), (q_hbm, s_q), (m_hbm, s_m)))
-    ]
-    for c in cp:
-        c.start()
-    for c in cp:
-        c.wait()
+def _tiled_kernel(phi_m, phi_c, phi_p, q_m, q_c, q_p, m_m, m_c, m_p,
+                  out_ref, *, iters: int, halo: int):
+    """One row tile with halos assembled in-register from the previous /
+    current / next blocks (all auto-pipelined by Pallas), all sweeps in
+    VMEM, interior rows written back."""
+    tile_h = out_ref.shape[0]
 
-    mask = s_m[:] > 0.5
+    def halo_block(prev, cur, nxt):
+        return jnp.concatenate(
+            [prev[tile_h - halo:], cur[:], nxt[:halo]], axis=0)
+
+    phi = halo_block(phi_m, phi_c, phi_p)
+    q = halo_block(q_m, q_c, q_p)
+    mask = halo_block(m_m, m_c, m_p) > 0.5
 
     def body(_, state):
         return propagation_step(state[0], state[1], mask, roll_fn=_tpu_roll)
 
     Phi, _ = jax.lax.fori_loop(
-        0, iters, body, (s_phi[:], jnp.where(mask, s_q[:], 0.0))
+        0, iters, body, (phi, jnp.where(mask, q, 0.0))
     )
     out_ref[:] = Phi[halo:halo + tile_h]
 
@@ -78,53 +72,53 @@ def quality_unwrap_tiled(Phi, quality, mask, iters: int = 8,
                          tile_h: int = 128, halo: int | None = None):
     """Tiled-grid variant of quality_unwrap_pallas with in-kernel halos.
 
-    The image is swept one row tile at a time; each tile DMAs
-    ``tile_h + 2*halo`` rows into VMEM, runs all ``iters`` sweeps there,
-    and writes back the interior. With halo >= iters the result is
-    EXACTLY the unsharded repair (information travels one row per
-    sweep), while VMEM holds only a tile — this is the path for maps too
-    large for the whole-image VMEM kernel, and the single-chip analog of
-    the shard_map halo-exchange pipeline (slr/dist/sharded.py).
+    The image is swept one row tile at a time. Each grid step sees the
+    previous, current and next row blocks of each input (the same array
+    passed with three shifted index maps — Pallas double-buffers the
+    block DMAs automatically, unlike a hand-rolled HBM->VMEM copy which
+    serializes against the compute), assembles the halo'd block
+    in-register, runs all ``iters`` sweeps in VMEM and writes back the
+    interior. With halo >= iters the result is EXACTLY the unsharded
+    repair (information travels one row per sweep), while VMEM holds
+    only a tile — this is the path for maps too large for the
+    whole-image VMEM kernel, and the single-chip analog of the shard_map
+    halo-exchange pipeline (slr/dist/sharded.py).
     """
     if halo is None:
         halo = iters
-    # Mosaic requires HBM->VMEM DMA slice lengths and in-register row
-    # slices to be sublane-aligned (8 rows for f32): round the halo up —
-    # extra halo rows only widen the exact-repair margin (halo >= iters).
+    # Mosaic requires in-register row slices to be sublane-aligned
+    # (8 rows for f32): round the halo up — extra halo rows only widen
+    # the exact-repair margin (halo >= iters).
     halo = int(round_up(max(halo, 1), 8))
+    assert halo <= tile_h, (halo, tile_h)
     H, W = Phi.shape
     Wp = round_up(W, 128)
     Hp = round_up(H, tile_h)
     fmask = mask.astype(jnp.float32)
-    pad = ((halo, Hp - H + halo), (0, Wp - W))
+    # one full tile of padding top+bottom: block i-1 / i+1 always exist
+    pad = ((tile_h, Hp - H + tile_h), (0, Wp - W))
     phi_p = jnp.pad(Phi.astype(jnp.float32), pad)
     q_p = jnp.pad(quality.astype(jnp.float32), pad)
     m_p = jnp.pad(fmask, pad)
-    size = tile_h + 2 * halo
+
+    def spec(off):
+        return pl.BlockSpec((tile_h, Wp), lambda i, o=off: (i + o, 0),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
-        partial(_tiled_kernel, iters=iters, tile_h=tile_h, halo=halo),
+        partial(_tiled_kernel, iters=iters, halo=halo),
         grid=(Hp // tile_h,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[spec(o) for a in range(3) for o in (0, 1, 2)],
         out_specs=pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((size, Wp), jnp.float32),
-            pltpu.VMEM((size, Wp), jnp.float32),
-            pltpu.VMEM((size, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=40 * iters * Hp * Wp,
-            bytes_accessed=4 * Hp * Wp * 4,
+            bytes_accessed=10 * Hp * Wp * 4,
             transcendentals=0,
         ),
         interpret=use_interpret(),
-    )(phi_p, q_p, m_p)
+    )(phi_p, phi_p, phi_p, q_p, q_p, q_p, m_p, m_p, m_p)
     return out[:H, :W]
 
 

@@ -56,13 +56,23 @@ def register_scans(
     cfg: RegistrationConfig = RegistrationConfig(),
     use_features: bool = True,
     cam=None,
+    loop_closures: bool = True,
 ) -> RegisteredScans:
-    """Align scan s to scan s-1 pairwise, accumulate the chain, then
-    refine all poses jointly on the pose graph. Scan 0 is the anchor.
+    """Align scan s to scan s-1 pairwise, accumulate the chain, add
+    loop-closure edges (last<->first + skip pairs), then refine all poses
+    jointly on the pose graph. Scan 0 is the anchor.
 
     When the rig camera is given, fine alignment uses dense projective
     data association on the organized grids (slr.registration.projective)
     — O(N) per iteration, no NN search; otherwise the tiled-matmul NN ICP.
+
+    Loop closures give the pose graph real redundancy: a pure chain can
+    only redistribute odometry noise, while a closure edge measures the
+    accumulated drift directly and the graph solve spreads the correction
+    over the whole loop (SURVEY.md 4.7). Closure candidates are aligned
+    from the chain-predicted relative pose and accepted only when ICP
+    locks (inlier fraction gate), so a bad candidate cannot poison the
+    graph.
     """
     from slr.registration.projective import icp_projective
     from slr.registration.normals import grid_normals
@@ -78,20 +88,20 @@ def register_scans(
             (c.points, c.mask, grid_normals(c.points, c.mask)) for c in clouds
         ]
 
-    def fine_align(s, R0=None, t0=None):
-        """NN ICP for the wide convergence basin, then (when organized
-        grids + camera are available) a dense projective-association
-        polish — projective ICP is the most accurate finisher (measured
-        0.01 mm / 0.0003 deg from a good init) but has a narrower basin
-        from identity."""
+    def fine_align(s, tgt, R0=None, t0=None):
+        """Align scan s onto scan tgt: NN ICP for the wide convergence
+        basin, then (when organized grids + camera are available) a dense
+        projective-association polish — projective ICP is the most
+        accurate finisher (measured 0.01 mm / 0.0003 deg from a good
+        init) but has a narrower basin from identity."""
         src_pts, _ = samples[s]
-        tgt_pts, tgt_nrm = samples[s - 1]
+        tgt_pts, tgt_nrm = samples[tgt]
         res = icp_point_to_plane(
             src_pts, tgt_pts, tgt_nrm, R0=R0, t0=t0,
             iters=cfg.icp_iters, max_corr_dist=cfg.icp_max_corr_dist,
         )
         if grids is not None:
-            tg, tm, tn = grids[s - 1]
+            tg, tm, tn = grids[tgt]
             res = icp_projective(
                 src_pts, jnp.ones(src_pts.shape[0], bool), tg, tm, tn, cam,
                 R0=res.R, t0=res.t, iters=max(8, cfg.icp_iters // 2),
@@ -99,29 +109,33 @@ def register_scans(
             )
         return res
 
-    Zr, Zt, rms_list = [], [], []
-    for s in range(1, S):
+    def feature_align(s, tgt, res):
+        """Race an FPFH+RANSAC-initialized ICP against ``res`` and keep
+        whichever locked on. Feature init is what rescues motions beyond
+        the identity-init ICP basin; FPFH is ambiguous on plane-dominated
+        scenes (a plane maps onto itself under flips), hence the race
+        rather than trusting it outright."""
         src_pts, src_nrm = samples[s]
-        tgt_pts, tgt_nrm = samples[s - 1]
-        res = fine_align(s)
+        tgt_pts, tgt_nrm = samples[tgt]
+        f_src = fpfh_features(src_pts, src_nrm)
+        f_tgt = fpfh_features(tgt_pts, tgt_nrm)
+        R0, t0, _ = ransac_align(
+            src_pts, f_src, tgt_pts, f_tgt,
+            n_iters=cfg.ransac_iters, inlier_dist=cfg.ransac_inlier_dist,
+        )
+        res_f = fine_align(s, tgt, R0=R0, t0=t0)
+        better = (float(res_f.inlier_frac) > float(res.inlier_frac)) or (
+            abs(float(res_f.inlier_frac) - float(res.inlier_frac)) < 0.05
+            and float(res_f.rms) < float(res.rms)
+        )
+        return res_f if better else res
+
+    edges, Zr, Zt, rms_list = [], [], [], []
+    for s in range(1, S):
+        res = fine_align(s, s - 1)
         if use_features:
-            # feature init helps when the motion is large, but FPFH is
-            # ambiguous on plane-dominated scenes (a plane maps onto
-            # itself under flips) — race it against the identity init and
-            # keep whichever ICP actually locked on
-            f_src = fpfh_features(src_pts, src_nrm)
-            f_tgt = fpfh_features(tgt_pts, tgt_nrm)
-            R0, t0, _ = ransac_align(
-                src_pts, f_src, tgt_pts, f_tgt,
-                n_iters=cfg.ransac_iters, inlier_dist=cfg.ransac_inlier_dist,
-            )
-            res_f = fine_align(s, R0=R0, t0=t0)
-            better = (float(res_f.inlier_frac) > float(res.inlier_frac)) or (
-                abs(float(res_f.inlier_frac) - float(res.inlier_frac)) < 0.05
-                and float(res_f.rms) < float(res.rms)
-            )
-            if better:
-                res = res_f
+            res = feature_align(s, s - 1, res)
+        edges.append((s - 1, s))
         Zr.append(res.R)    # measurement: T_{s-1}^{-1} T_s (src -> tgt)
         Zt.append(res.t)
         rms_list.append(res.rms)
@@ -132,8 +146,27 @@ def register_scans(
     for s in range(1, S):
         R_init.append(R_init[-1] @ Zr[s - 1])
         t_init.append(R_init[-2] @ Zt[s - 1] + t_init[-1])
-    ei = jnp.asarray([s - 1 for s in range(1, S)], jnp.int32)
-    ej = jnp.asarray([s for s in range(1, S)], jnp.int32)
+
+    if loop_closures and S >= 3:
+        closure_pairs = [(0, S - 1)]
+        closure_pairs += [(i, i + 2) for i in range(0, S - 2, 2)]
+        for (i, j) in closure_pairs:
+            if (i, j) in edges:
+                continue
+            # chain-predicted relative pose T_i^{-1} T_j as the init
+            R0 = R_init[i].T @ R_init[j]
+            t0 = R_init[i].T @ (t_init[j] - t_init[i])
+            res = fine_align(j, i, R0=R0, t0=t0)
+            if use_features and float(res.inlier_frac) < 0.5:
+                res = feature_align(j, i, res)
+            if float(res.inlier_frac) < 0.3:
+                continue    # no overlap / failed lock: reject the edge
+            edges.append((i, j))
+            Zr.append(res.R)
+            Zt.append(res.t)
+
+    ei = jnp.asarray([e[0] for e in edges], jnp.int32)
+    ej = jnp.asarray([e[1] for e in edges], jnp.int32)
     pg = pose_graph_optimize(
         jnp.stack(R_init), jnp.stack(t_init), ei, ej,
         jnp.stack(Zr), jnp.stack(Zt),

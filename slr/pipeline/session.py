@@ -122,10 +122,12 @@ class Session:
 
     # --- registration + fusion ---
     def register(self, use_features: bool = True,
-                 refine_ba: bool = True) -> RegisteredScans:
+                 refine_ba: bool = True,
+                 loop_closures: bool = True) -> RegisteredScans:
         clouds = [self.load_cloud(i) for i in range(self.cloud_count())]
         reg = register_scans(clouds, self.config.registration,
-                             use_features=use_features, cam=self.cam)
+                             use_features=use_features, cam=self.cam,
+                             loop_closures=loop_closures)
         if refine_ba and len(clouds) > 2:
             from slr.pipeline.registerfuse import ba_refine
 

@@ -60,16 +60,15 @@ def _knn(query, target, k: int, tile: int = 2048):
     return i, d
 
 
-@partial(jax.jit, static_argnames=("k", "bins"))
-def fpfh_features(points, normals, k: int = 16, bins: int = 11):
-    """Simplified FPFH descriptors (N, 3*bins), L2-normalized."""
-    idx, _ = _knn(points, points, k=k)
+def _spfh(points, normals, idx, bins: int):
+    """Simple point-feature histogram per point over its knn (N, 3*bins)."""
     nb_p = points[idx]                     # (N,k,3)
     nb_n = normals[idx]
     p = points[:, None, :]
     n = normals[:, None, :]
     d = nb_p - p
     dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    self_nb = dist[..., 0] < 1e-9          # knn of self includes self
     d_unit = d / jnp.where(dist < 1e-9, 1.0, dist)
     # Darboux frame u=n, v=d x u, w=u x v
     u = jnp.broadcast_to(n, nb_p.shape)
@@ -80,20 +79,37 @@ def fpfh_features(points, normals, k: int = 16, bins: int = 11):
     alpha = jnp.sum(v * nb_n, axis=-1)                     # [-1,1]
     phi = jnp.sum(u * d_unit, axis=-1)                     # [-1,1]
     theta = jnp.arctan2(jnp.sum(w * nb_n, axis=-1), jnp.sum(u * nb_n, axis=-1))
+    valid = (~self_nb).astype(jnp.float32)                 # drop self pair
 
     def hist(x, lo, hi):
         xb = jnp.clip((x - lo) / (hi - lo) * bins, 0, bins - 1e-3)
         b = jnp.floor(xb).astype(jnp.int32)                 # (N,k)
         oh = jax.nn.one_hot(b, bins, dtype=jnp.float32)
-        return jnp.sum(oh, axis=1)                          # (N,bins)
+        return jnp.sum(oh * valid[..., None], axis=1)       # (N,bins)
 
-    f = jnp.concatenate(
+    return jnp.concatenate(
         [hist(alpha, -1.0, 1.0), hist(phi, -1.0, 1.0),
          hist(theta, -jnp.pi, jnp.pi)],
         axis=1,
     )
-    f = f / (jnp.linalg.norm(f, axis=1, keepdims=True) + 1e-9)
-    return f
+
+
+@partial(jax.jit, static_argnames=("k", "bins"))
+def fpfh_features(points, normals, k: int = 16, bins: int = 11):
+    """FPFH descriptors (N, 3*bins), L2-normalized.
+
+    True two-pass FPFH (Rusu et al.): SPFH per point, then
+    FPFH(p) = SPFH(p) + mean_{q in knn(p)} SPFH(q) / ||p-q|| — the
+    neighbourhood aggregation is what makes the descriptor discriminative
+    on smooth surfaces (a single-pass SPFH of a plane/sphere patch is
+    nearly constant, which made matching collapse on rendered scans)."""
+    idx, d2 = _knn(points, points, k=k)
+    s = _spfh(points, normals, idx, bins)
+    # distance-weighted neighbour aggregation; exclude self (d2 ~ 0)
+    wd = jnp.where(d2 > 1e-9, 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-9)), 0.0)
+    f = s + jnp.sum(s[idx] * wd[..., None], axis=1) / (
+        jnp.sum(wd, axis=1, keepdims=True) + 1e-9)
+    return f / (jnp.linalg.norm(f, axis=1, keepdims=True) + 1e-9)
 
 
 def _kabsch(P, Q, w):
@@ -116,47 +132,78 @@ def _kabsch(P, Q, w):
 def ransac_align(
     src_pts, src_feat, tgt_pts, tgt_feat,
     n_iters: int = 256,
-    inlier_dist: float = 2.0,
+    inlier_dist: float = 5.0,
     key=None,
 ):
     """Feature-matched RANSAC rigid alignment src -> tgt.
 
     Returns (R, t, inlier_frac). All n_iters hypotheses evaluated in
     parallel (vmap); the best by inlier count is refit on its inliers.
+
+    Robustness machinery (all fixed-shape, jit-compiled):
+    - matches are mutual nearest descriptors, weighted by the ratio-test
+      margin (best minus second-best similarity) so ambiguous matches on
+      self-similar patches rarely seed a hypothesis;
+    - every 3-sample hypothesis must pass the rigid length-consistency
+      tuple test (pairwise distances agree between the two clouds within
+      max(10%, inlier_dist)) before its Kabsch fit counts — wrong-match
+      triplets are rejected wholesale, which multiplies the effective
+      iteration budget (the trick behind fast-global-registration/TEASER
+      style matchers);
+    - the winner is refit with two IRLS rounds on its inlier set.
+
+    Note the inlier radius: matched keypoints are distinct subsample
+    draws of the surface, so even a perfect alignment leaves them ~one
+    point-spacing apart — inlier_dist must be a few spacings, not the
+    target accuracy (ICP owns the fine alignment).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     # mutual nearest matching in descriptor space (one matmul)
     sim = src_feat @ tgt_feat.T                       # cosine (unit feats)
-    fwd = jnp.argmax(sim, axis=1)                     # (S,)
+    top2, top2_i = jax.lax.top_k(sim, 2)              # (S,2)
+    fwd = top2_i[:, 0]                                # (S,)
     bwd = jnp.argmax(sim, axis=0)                     # (T,)
     mutual = bwd[fwd] == jnp.arange(src_pts.shape[0])
-    match_w = mutual.astype(jnp.float32)
+    margin = jnp.maximum(top2[:, 0] - top2[:, 1], 0.0)
+    match_w = mutual.astype(jnp.float32) * margin
     P = src_pts
     Q = tgt_pts[fwd]
     d2_thresh = inlier_dist * inlier_dist
+    probs = match_w + 1e-5
+    probs = probs / jnp.sum(probs)
 
     def hypothesis(k):
-        # sample 3 matches, biased to mutual ones
-        probs = match_w + 1e-3
-        sel = jax.random.choice(
-            k, P.shape[0], shape=(3,), p=probs / jnp.sum(probs)
-        )
-        R, t = _kabsch(P[sel], Q[sel], jnp.ones(3))
+        sel = jax.random.choice(k, P.shape[0], shape=(3,), p=probs)
+        Ps, Qs = P[sel], Q[sel]
+        # rigid length-consistency tuple test on the 3 pairwise edges
+        ip = jnp.array([0, 0, 1])
+        jp = jnp.array([1, 2, 2])
+        dp = jnp.linalg.norm(Ps[ip] - Ps[jp], axis=1)
+        dq = jnp.linalg.norm(Qs[ip] - Qs[jp], axis=1)
+        tol = jnp.maximum(0.1 * jnp.maximum(dp, dq), inlier_dist)
+        consistent = jnp.all(jnp.abs(dp - dq) < tol)
+        # degenerate (near-collinear) samples fit any rotation: reject
+        area2 = jnp.linalg.norm(
+            jnp.cross(Ps[1] - Ps[0], Ps[2] - Ps[0]))
+        good = consistent & (area2 > 1e-3)
+        R, t = _kabsch(Ps, Qs, jnp.ones(3))
         moved = P @ R.T + t
         d2 = jnp.sum((moved - Q) ** 2, axis=1)
         inliers = (d2 < d2_thresh) & mutual
-        return jnp.sum(inliers), R, t
+        return jnp.where(good, jnp.sum(inliers), -1), R, t
 
     keys = jax.random.split(key, n_iters)
     counts, Rs, ts = jax.vmap(hypothesis)(keys)
     best = jnp.argmax(counts)
     R, t = Rs[best], ts[best]
-    # refit on the best hypothesis' inliers
-    moved = P @ R.T + t
-    w = ((jnp.sum((moved - Q) ** 2, axis=1) < d2_thresh) & mutual).astype(
-        jnp.float32
-    )
-    R, t = _kabsch(P, Q, w)
-    inl = jnp.sum(w) / (jnp.sum(match_w) + 1e-9)
+    # IRLS refit on the winner's inliers (two rounds tighten the fit
+    # enough that the final inlier set is stable)
+    w = match_w
+    for _ in range(2):
+        moved = P @ R.T + t
+        w = ((jnp.sum((moved - Q) ** 2, axis=1) < d2_thresh) & mutual
+             ).astype(jnp.float32)
+        R, t = _kabsch(P, Q, w + 1e-9 * match_w)
+    inl = jnp.sum(w) / (jnp.sum(mutual) + 1e-9)
     return R, t, inl

@@ -12,7 +12,9 @@ from slr.synth.scene import (
     plane_depth,
     sphere_depth,
     spheres_scene,
+    rocks_scene,
     bumps_depth,
     checker_albedo,
 )
 from slr.synth.render import render_scan, RenderedScan, default_rig, move_rig
+from slr.synth.board import render_board_view, board_poses, BoardView

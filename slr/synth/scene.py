@@ -82,6 +82,34 @@ def spheres_scene(cam: Camera, h: int, w: int, plane_point=(0, 0, 560.0),
     return depth
 
 
+def rocks_scene(cam: Camera, h: int, w: int, n: int = 18, seed: int = 0,
+                plane_point=(0, 0, 580.0), plane_normal=(0.12, 0.08, -1.0)):
+    """World-anchored "rock field": n unequal spheres scattered over a
+    tilted plane (closed form, re-renderable from any rig pose).
+
+    Unlike ``spheres_scene`` (dominated by one big sphere + plane, whose
+    patches are locally self-similar), the spread of rock radii makes
+    local curvature — and therefore FPFH descriptors — discriminative,
+    so this is the fixture for feature-based coarse registration under
+    large motion (SURVEY.md 4.6 component 14)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    xs = rng.uniform(-120, 120, n)
+    ys = rng.uniform(-80, 80, n)
+    rs = rng.uniform(14.0, 42.0, n)
+    # embed each rock half-way into the plane region around z ~ 545
+    zs = 565.0 - 0.35 * rs + rng.uniform(-12, 12, n)
+    depth = plane_depth(cam, h, w, plane_point, plane_normal)
+    for x, y, z, r in zip(xs, ys, zs, rs):
+        depth = jnp.minimum(
+            depth,
+            sphere_depth(cam, h, w, (float(x), float(y), float(z)), float(r),
+                         background=1e6),
+        )
+    return depth
+
+
 def bumps_depth(h: int, w: int, base: float = 500.0, amp: float = 30.0,
                 freq: float = 3.0):
     """Smooth Gaussian-bump height field as a direct depth map."""
