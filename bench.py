@@ -56,38 +56,52 @@ def main():
                           "error": f"accuracy gate failed: {rms} mm"}))
         sys.exit(1)
 
-    # Amortized per-scan latency over a batched dispatch: one jit call
-    # processes BATCH scans (vmapped fused kernel). This removes the
-    # fixed per-dispatch host->device round trip (~27 ms through the
-    # axon relay in this environment — measured with a null jit call; a
-    # locally-attached TPU would not pay it), which otherwise swamps the
-    # ~0.13 ms kernel. Production scanning streams scans the same way.
-    BATCH = 16
-    batch = jnp.broadcast_to(frames, (BATCH,) + frames.shape)
+    # Device-side per-scan latency via K scan reconstructions serialized
+    # INSIDE one jit dispatch (each iteration's input depends on the
+    # previous output, so XLA cannot hoist or elide the chain):
+    # per_scan = (T(K_hi) - T(K_lo)) / (K_hi - K_lo). The subtraction
+    # cancels the fixed per-dispatch host<->device round trip, which in
+    # this rig goes through the axon relay and costs 0.07-45 ms
+    # *per process* (bimodal; measured with a null jit call) -- i.e. it
+    # measures the transport, not the scanner. Production scanning
+    # streams scans device-resident exactly like the chained loop.
+    def make_loop(K: int):
+        @jax.jit
+        def run(f0):
+            def body(i, carry):
+                s, f = carry
+                cl = reconstruct_dense(f, cam, proj, cfg, dec, rec)
+                s2 = s + cl.points[0, 0, 0]
+                f2 = f.at[0, 0, 0].set(f[0, 0, 0] + s2 * 1e-30)
+                return (s2, f2)
+            s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), f0))
+            return s
+        return run
 
-    @jax.jit
-    def recon_batch(fb):
-        return jax.vmap(
-            lambda f: reconstruct_dense(f, cam, proj, cfg, dec, rec).points
-        )(fb)
+    def t_of(fn, n_rep=7):
+        jax.block_until_ready(fn(frames))
+        ts = []
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(frames))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        ts.sort()
+        return ts[len(ts) // 2]
 
-    jax.block_until_ready(recon_batch(batch))
-    ts = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        jax.block_until_ready(recon_batch(batch))
-        ts.append((time.perf_counter() - t0) * 1e3 / BATCH)
-    ts.sort()
-    ms = ts[len(ts) // 2]
+    K_LO, K_HI = 1, 33
+    t_lo = t_of(make_loop(K_LO))
+    t_hi = t_of(make_loop(K_HI))
+    ms = max((t_hi - t_lo) / (K_HI - K_LO), 1e-6)
 
     n_pts = int(n)  # valid 3D points per scan (accuracy-gated above)
     print(json.dumps({
         "metric": "scan_decode_triangulate_ms",
-        "value": round(ms, 3),
+        "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms, 2),
         "points_per_s_chip": round(n_pts / (ms / 1e3)),
         "rms_mm": round(rms, 4),
+        "dispatch_ms": round(t_lo, 2),  # relay round trip, not the scanner
     }))
 
 
