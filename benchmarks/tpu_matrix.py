@@ -6,10 +6,12 @@ accuracy against ground truth / the pure-JAX reference paths, and
 records median latency. Appends one JSON line per case to
 benchmarks/tpu_matrix_r2.jsonl so partial results survive a timeout.
 
-Kernel variants are timed amortized over a BATCH-scan vmapped dispatch
-(the axon relay costs ~27 ms per host->device round trip regardless of
-compute — measured below as case "null_dispatch" — so single-dispatch
-numbers measure the relay, not the kernel).
+Every case is timed DEVICE-SIDE with a chained in-jit loop (see
+``device_ms``): K serialized runs inside one dispatch, per-run =
+(T(K)-T(1))/(K-1). The host->device round trip through the axon relay
+is bimodal per process (0.07-45 ms, measured below as "null_dispatch"),
+so host-side wall-clock numbers measure the transport, not the kernel;
+the subtraction cancels it in either mode.
 
 Run: nohup timeout 5400 python benchmarks/tpu_matrix.py > /tmp/tpu_matrix.log 2>&1 &
 """
@@ -40,7 +42,6 @@ from slr.synth.render import default_rig, render_scan, quantize_frames
 
 OUT = os.path.join(os.path.dirname(__file__), "tpu_matrix_r2.jsonl")
 CAM_W, CAM_H = 1280, 1024
-BATCH = 8
 
 
 def emit(case: str, **rec):
@@ -63,6 +64,35 @@ def timed(fn, *args, n=5):
     return ts[len(ts) // 2], out
 
 
+def device_ms(step, x0, K_hi=65, n=5):
+    """Device-side per-iteration time via K serialized runs inside ONE
+    dispatch: per-iter = (T(K_hi) - T(1)) / (K_hi - 1).
+
+    ``step(x) -> (scalar, x_next)`` must chain its output into the next
+    input so XLA cannot hoist or elide the loop body. The subtraction
+    cancels the per-dispatch relay round trip, which in this rig is
+    bimodal per process (0.07-45 ms) and otherwise dominates every
+    host-side wall-clock number.
+    """
+    def make(K):
+        @jax.jit
+        def run(x):
+            def body(i, carry):
+                x_c, acc = carry
+                s, x_n = step(x_c)
+                return (x_n, acc + s)
+            _, acc = jax.lax.fori_loop(0, K, body, (x, jnp.float32(0.0)))
+            return acc
+        return run
+
+    t1, _ = timed(make(1), x0, n=n)
+    tk, _ = timed(make(K_hi), x0, n=n)
+    # K_hi must be large enough that (K_hi-1)*per_iter dwarfs the relay
+    # jitter (~+/-2 ms per dispatch in slow mode); callers pass smaller
+    # K_hi for expensive solvers where one iteration already does.
+    return max((tk - t1) / (K_hi - 1), 1e-6)
+
+
 def rms_vs_truth(pts_3hw, mask_hw, scan):
     pts = np.moveaxis(np.asarray(pts_3hw), 0, -1)
     valid = np.asarray(mask_hw) > 0.5
@@ -72,23 +102,35 @@ def rms_vs_truth(pts_3hw, mask_hw, scan):
 
 
 def kernel_case(name, frames, cam, proj, cfg, dec, scan, rms_bound):
-    batch = jnp.broadcast_to(frames, (BATCH,) + frames.shape)
-
     @jax.jit
-    def run(fb):
-        o = jax.vmap(
-            lambda f: fused_decode_triangulate(f, cam, proj, cfg, dec)
-        )(fb)
+    def one(f):
+        o = fused_decode_triangulate(f, cam, proj, cfg, dec)
         return o.points, o.mask
 
-    ms, (pts, mask) = timed(run, batch)
-    rms, n = rms_vs_truth(pts[0], mask[0], scan)
-    px_s = BATCH * frames.shape[1] * frames.shape[2] / (ms / 1e3)
-    emit(name, ms_per_scan=round(ms / BATCH, 4), rms_mm=round(rms, 4),
-         valid_points=n, points_per_s=round(n * BATCH / (ms / 1e3)),
+    pts, mask = jax.block_until_ready(one(frames))
+    rms, n = rms_vs_truth(pts, mask, scan)
+
+    if jnp.issubdtype(frames.dtype, jnp.integer):
+        def step(f):
+            o = fused_decode_triangulate(f, cam, proj, cfg, dec)
+            # chain via an int frame perturbation that the decode's
+            # thresholded comparisons cannot feel (flip frame[0,0,0] LSB)
+            f2 = f.at[0, 0, 0].set(
+                (f[0, 0, 0] ^ (o.points[0, 0, 0] > -1e30).astype(f.dtype)))
+            return o.points[0, 0, 0], f2
+    else:
+        def step(f):
+            o = fused_decode_triangulate(f, cam, proj, cfg, dec)
+            f2 = f.at[0, 0, 0].set(f[0, 0, 0] + o.points[0, 0, 0] * 1e-30)
+            return o.points[0, 0, 0], f2
+
+    ms = device_ms(step, frames)
+    px_s = frames.shape[1] * frames.shape[2] / (ms / 1e3)
+    emit(name, ms_per_scan=round(ms, 4), rms_mm=round(rms, 4),
+         valid_points=n, points_per_s=round(n / (ms / 1e3)),
          pixels_per_s=round(px_s),
          ok=bool(rms < rms_bound), frames=frames.shape[0],
-         dtype=str(frames.dtype))
+         dtype=str(frames.dtype), timing="device_chained_loop")
 
 
 def main():
@@ -140,6 +182,18 @@ def main():
     except Exception:
         emit("fused_midpoint_rowcol", error=traceback.format_exc()[-1500:])
 
+    # ---- multifreq hierarchical phase coding (kernel variant) ----
+    try:
+        cfgmf = PatternConfig(proj_width=1024, proj_height=768,
+                              coding="multifreq", phase_steps=4,
+                              mf_levels=3, mf_ratio=8.0)
+        scanmf = render_scan(cam, proj, depth, cfgmf, noise_std=0.005,
+                             key=jax.random.PRNGKey(2))
+        kernel_case("fused_multifreq", scanmf.frames, cam, proj, cfgmf, dec,
+                    scanmf, rms_bound=1.0)
+    except Exception:
+        emit("fused_multifreq", error=traceback.format_exc()[-1500:])
+
     # ---- quality-guided unwrap kernels vs pure-JAX repair ----
     try:
         rng = np.random.default_rng(0)
@@ -152,23 +206,36 @@ def main():
         Phi_n, q = jnp.asarray(Phi_n), jnp.asarray(q)
         mask = jnp.ones((H, W), bool)
 
-        ms_ref, ref = timed(
-            jax.jit(lambda p, qq, m: spatial_quality_unwrap(p, qq, m, iters=6)),
-            Phi_n, q, mask)
-        ms_pal, out_pal = timed(
-            jax.jit(lambda p, qq, m: quality_unwrap_pallas(p, qq, m, iters=6)),
-            Phi_n, q, mask)
-        err = float(np.abs(np.asarray(out_pal) - np.asarray(ref)).max())
-        emit("quality_unwrap_pallas", ms=round(ms_pal, 3),
-             ms_pure_jax=round(ms_ref, 3), max_err_vs_jax=err,
-             ok=bool(err < 1e-4))
+        ref = jax.block_until_ready(
+            jax.jit(lambda p, qq, m: spatial_quality_unwrap(p, qq, m, iters=6))(
+                Phi_n, q, mask))
+        ms_ref = device_ms(
+            lambda p: (spatial_quality_unwrap(p, q, mask, iters=6)[0, 0],
+                       p.at[0, 0].add(p[0, 1] * 1e-30)), Phi_n)
 
-        ms_til, out_til = timed(
-            jax.jit(lambda p, qq, m: quality_unwrap_tiled(p, qq, m, iters=6)),
-            Phi_n, q, mask)
+        def unwrap_step(kern):
+            def step(p):
+                out = kern(p, q, mask, iters=6)
+                return out[0, 0], p.at[0, 0].add(out[0, 0] * 1e-30)
+            return step
+
+        out_pal = jax.block_until_ready(
+            jax.jit(lambda p, qq, m: quality_unwrap_pallas(p, qq, m, iters=6))(
+                Phi_n, q, mask))
+        ms_pal = device_ms(unwrap_step(quality_unwrap_pallas), Phi_n)
+        err = float(np.abs(np.asarray(out_pal) - np.asarray(ref)).max())
+        emit("quality_unwrap_pallas", ms=round(ms_pal, 4),
+             ms_pure_jax=round(ms_ref, 4), max_err_vs_jax=err,
+             ok=bool(err < 1e-4), timing="device_chained_loop")
+
+        out_til = jax.block_until_ready(
+            jax.jit(lambda p, qq, m: quality_unwrap_tiled(p, qq, m, iters=6))(
+                Phi_n, q, mask))
+        ms_til = device_ms(unwrap_step(quality_unwrap_tiled), Phi_n)
         errt = float(np.abs(np.asarray(out_til) - np.asarray(ref)).max())
-        emit("quality_unwrap_tiled", ms=round(ms_til, 3),
-             max_err_vs_jax=errt, ok=bool(errt < 1e-4))
+        emit("quality_unwrap_tiled", ms=round(ms_til, 4),
+             max_err_vs_jax=errt, ok=bool(errt < 1e-4),
+             timing="device_chained_loop")
     except Exception:
         emit("quality_unwrap", error=traceback.format_exc()[-1500:])
 
@@ -185,15 +252,19 @@ def main():
     try:
         tgt = jnp.asarray(rng.uniform(-50, 50, (16384, 3)), jnp.float32)
         qry = jnp.asarray(rng.uniform(-50, 50, (16384, 3)), jnp.float32)
-        ms, (idx, d2) = timed(
-            jax.jit(lambda a, b: nearest_neighbors(a, b, tile=2048)), qry, tgt)
+        idx, d2 = jax.block_until_ready(
+            jax.jit(lambda a, b: nearest_neighbors(a, b, tile=2048))(qry, tgt))
+        ms = device_ms(
+            lambda a: (nearest_neighbors(a, tgt, tile=2048)[1][0],
+                       a.at[0, 0].add(1e-30)), qry)
         # exactness spot check vs numpy brute force on 64 queries
         qn, tn = np.asarray(qry[:64]), np.asarray(tgt)
         ref_idx = np.argmin(
             ((qn[:, None] - tn[None]) ** 2).sum(-1), axis=1)
         ok = bool((np.asarray(idx[:64]) == ref_idx).all())
         emit("nearest_neighbors_16k", ms=round(ms, 3), ok=ok,
-             pairs_per_s=round(16384 * 16384 / (ms / 1e3)))
+             pairs_per_s=round(16384 * 16384 / (ms / 1e3)),
+             timing="device_chained_loop")
     except Exception:
         emit("nearest_neighbors_16k", error=traceback.format_exc()[-1500:])
 
@@ -211,15 +282,22 @@ def main():
         n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
         n_tgt = jnp.asarray(n0, jnp.float32) @ R_true.T
 
-        def run_icp(s, t_, n_):
-            return icp_point_to_plane(s, t_, n_, iters=15,
+        def run_icp(s):
+            return icp_point_to_plane(s, tgt, n_tgt, iters=15,
                                       max_corr_dist=20.0, nn_tile=2048)
 
-        ms, res = timed(jax.jit(run_icp), src, tgt, n_tgt)
+        res = jax.block_until_ready(jax.jit(run_icp)(src))
+
+        def icp_step(s):
+            r = run_icp(s)
+            return r.rms, s.at[0, 0].add(r.rms * 1e-30)
+
+        ms = device_ms(icp_step, src, K_hi=9)
         rerr = float(np.abs(np.asarray(res.R) - np.asarray(R_true)).max())
         terr = float(np.abs(np.asarray(res.t) - np.asarray(t_true)).max())
         emit("icp_8k_15iter", ms=round(ms, 3), R_err=rerr, t_err=terr,
-             rms=float(res.rms), ok=bool(rerr < 5e-3 and terr < 0.5))
+             rms=float(res.rms), ok=bool(rerr < 5e-3 and terr < 0.5),
+             timing="device_chained_loop")
     except Exception:
         emit("icp_8k_15iter", error=traceback.format_exc()[-1500:])
 
@@ -246,11 +324,17 @@ def main():
             jnp.asarray(r.normal(0, 0.01, (S, 3)), jnp.float32))
         R0 = jnp.einsum("sij,sjk->sik", R_true, noise)
         t0 = t_true + jnp.asarray(r.normal(0, 1.0, (S, 3)), jnp.float32)
-        ms, res = timed(
-            jax.jit(lambda a, b: pose_graph_optimize(a, b, ei, ej, Zr, Zt,
-                                                     iters=20)), R0, t0)
+        res = jax.block_until_ready(jax.jit(
+            lambda a, b: pose_graph_optimize(a, b, ei, ej, Zr, Zt,
+                                             iters=20))(R0, t0))
+
+        def pg_step(t_c):
+            r = pose_graph_optimize(R0, t_c, ei, ej, Zr, Zt, iters=20)
+            return r.rms, t_c.at[0, 0].add(r.rms * 1e-30)
+
+        ms = device_ms(pg_step, t0, K_hi=9)
         emit("pose_graph_S16_20iter", ms=round(ms, 3), rms=float(res.rms),
-             ok=bool(float(res.rms) < 1e-4))
+             ok=bool(float(res.rms) < 1e-4), timing="device_chained_loop")
     except Exception:
         emit("pose_graph_S16_20iter", error=traceback.format_exc()[-1500:])
 
@@ -274,11 +358,19 @@ def main():
         R0 = jnp.einsum("sij,sjk->sik", R_true, noise)
         t0 = t_true + jnp.asarray(r.normal(0, 2.0, (S, 3)), jnp.float32)
         X0 = X_true + jnp.asarray(r.normal(0, 2.0, (L, 3)), jnp.float32)
-        ms, res = timed(
-            jax.jit(lambda a, b, c: bundle_adjust_reference(
-                a, b, c, obs_s, p, obs_w, iters=10)), R0, t0, X0)
+        res = jax.block_until_ready(jax.jit(
+            lambda a, b, c: bundle_adjust_reference(
+                a, b, c, obs_s, p, obs_w, iters=10))(R0, t0, X0))
+
+        def ba_step(t_c):
+            r = bundle_adjust_reference(R0, t_c, X0, obs_s, p, obs_w,
+                                        iters=10)
+            return r.rms, t_c.at[0, 0].add(r.rms * 1e-30)
+
+        ms = device_ms(ba_step, t0, K_hi=5)
         emit("schur_ba_S6_L4096_10iter", ms=round(ms, 3),
-             rms=float(res.rms), ok=bool(float(res.rms) < 0.05))
+             rms=float(res.rms), ok=bool(float(res.rms) < 0.05),
+             timing="device_chained_loop")
     except Exception:
         emit("schur_ba_S6_L4096_10iter", error=traceback.format_exc()[-1500:])
 

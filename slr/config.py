@@ -106,6 +106,10 @@ class DecodeConfig:
     # Spatial quality-guided unwrap (component 8): fixed-iteration
     # label-propagation repair pass. 0 disables.
     spatial_unwrap_iters: int = 8
+    # "voting" = strict-consensus sweep (isolated order errors, Pallas);
+    # "wavefront" = quality-ordered threshold-lowering front (repairs
+    # multi-pixel blobs; associative-scan line growth)
+    spatial_unwrap_mode: str = "voting"
 
 
 @dataclass(frozen=True)

@@ -68,7 +68,8 @@ def reconstruct_scan(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "dec", "rec", "spatial_iters"))
+@partial(jax.jit, static_argnames=("cfg", "dec", "rec", "spatial_iters",
+                                   "spatial_mode"))
 def reconstruct_dense(
     frames,
     cam: Camera,
@@ -77,6 +78,7 @@ def reconstruct_dense(
     dec: DecodeConfig = DecodeConfig(),
     rec: ReconstructConfig = ReconstructConfig(),
     spatial_iters: int = 0,
+    spatial_mode: str = "voting",
 ) -> ScanCloud:
     """Flagship fused path (config 3): Pallas kernel end-to-end.
 
@@ -86,6 +88,12 @@ def reconstruct_dense(
     phase between decode and re-triangulation (only the repaired x_p
     re-enters the plane solve — cheap VPU math, no second HBM pass over
     the frames; column-plane re-triangulation only).
+
+    ``spatial_mode``: "voting" = strict-consensus Pallas sweep (isolated
+    order errors, conservative default); "wavefront" = quality-ordered
+    threshold-lowering front (quality_guided_repair) which also repairs
+    multi-pixel order-error blobs, with spatial_iters as its
+    rounds-per-level.
     """
     out = fused_decode_triangulate(
         frames, cam, proj, cfg, dec, z_bounds=(rec.min_depth, rec.max_depth)
@@ -98,7 +106,15 @@ def reconstruct_dense(
         pitch = (cfg.mf_pitches[-1] if cfg.coding == "multifreq"
                  else cfg.fringe_pitch)
         Phi = x_p * (TWO_PI / pitch)
-        Phi = quality_unwrap_pallas(Phi, out.quality, mask, iters=spatial_iters)
+        if spatial_mode == "wavefront":
+            from slr.codec import quality_guided_repair
+
+            Phi = quality_guided_repair(
+                Phi, out.quality, mask,
+                rounds_per_level=max(1, spatial_iters // 4))
+        else:
+            Phi = quality_unwrap_pallas(Phi, out.quality, mask,
+                                        iters=spatial_iters)
         x_p2 = Phi * (pitch / TWO_PI)
         changed = jnp.abs(x_p2 - x_p) > 1e-6
         H, W = x_p.shape

@@ -85,6 +85,7 @@ class Session:
             cloud = reconstruct_dense(
                 frames, self.cam, self.proj, p, self.config.decode,
                 self.config.reconstruct, spatial_iters=spatial_iters,
+                spatial_mode=self.config.decode.spatial_unwrap_mode,
             )
         else:
             cloud = reconstruct_scan(

@@ -342,3 +342,39 @@ def test_config4_loop_closure_corrects_drift():
         "closure correction stays observable")
     assert terr_loop < 0.65 * terr_chain, (terr_loop, terr_chain)
     assert terr_loop < 1.5, terr_loop
+
+
+def test_config3_wavefront_spatial_mode():
+    """reconstruct_dense(spatial_mode="wavefront") — the quality-ordered
+    wavefront repair wired into the flagship pipeline. The repair passes
+    rescue pixels the temporal decode masked out (so plain RMS is an
+    apples-to-oranges comparison over a larger, noisier mask): assert
+    (a) pixels are actually rescued, (b) on the baseline mask the repair
+    does not perturb good pixels, (c) sub-mm there. Flood-fill-style
+    unwrap assumes spatial phase continuity, so this runs on the smooth
+    bumps scene; "voting" stays the default for scenes with occlusion
+    discontinuities (blob-repair efficacy is asserted at codec level)."""
+    from slr.synth import bumps_depth
+
+    cam, proj = _rig()
+    cfg = PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H, gray_bits=6,
+                        phase_steps=4)
+    scan = render_scan(cam, proj, bumps_depth(CAM_H, CAM_W, base=480.0,
+                                              amp=25.0), cfg,
+                       noise_std=0.01, key=jax.random.PRNGKey(9))
+    base = reconstruct_dense(scan.frames, cam, proj, cfg, spatial_iters=0)
+    wave = reconstruct_dense(scan.frames, cam, proj, cfg,
+                             spatial_iters=4, spatial_mode="wavefront")
+    rescued = int(jnp.sum(wave.mask & ~base.mask))
+    assert rescued > 0, "wavefront repair rescued no pixels"
+
+    common = base.mask & wave.mask & scan.mask_true
+
+    def rms_on(cloud):
+        err = jnp.where(common, jnp.linalg.norm(
+            cloud.points - scan.points_true, axis=-1), 0.0)
+        return float(jnp.sqrt(jnp.sum(err * err) / jnp.sum(common)))
+
+    r_base, r_wave = rms_on(base), rms_on(wave)
+    assert r_wave < 1.0, r_wave
+    assert r_wave < r_base + 0.05, (r_wave, r_base)
