@@ -187,20 +187,32 @@ def cmd_fuse(args):
 
 
 def cmd_demo(args):
-    """Full synthetic end-to-end: 3 scans -> reconstruct -> register -> fuse."""
+    """Full synthetic end-to-end: 3 scans -> reconstruct -> register -> fuse.
+
+    --pixel-tiles/--map-blocks write a DistConfig into the session so the
+    whole run takes the config-5 sharded product path [B:12]: pixel-tile
+    sharded reconstruction, map-block-distributed Schur BA.
+    """
+    import dataclasses
+
     ns = argparse.Namespace
     coding = getattr(args, "coding", "gray_phase")
-    if coding != "gray_phase":
-        import dataclasses
-
-        from slr.config import PatternConfig, ScanConfig
+    pixel_tiles = getattr(args, "pixel_tiles", 1)
+    map_blocks = getattr(args, "map_blocks", 1)
+    if coding != "gray_phase" or pixel_tiles * map_blocks > 1:
+        from slr.config import DistConfig, PatternConfig
         from slr.pipeline import Session
 
-        pat = (PatternConfig(coding="multifreq", phase_steps=4)
-               if coding == "multifreq"
-               else PatternConfig(phase_steps=0))   # "gray": code-only
-        Session(args.out, config=dataclasses.replace(
-            Session(args.out).config, pattern=pat))
+        cfg = Session(args.out).config
+        if coding != "gray_phase":
+            pat = (PatternConfig(coding="multifreq", phase_steps=4)
+                   if coding == "multifreq"
+                   else PatternConfig(phase_steps=0))   # "gray": code-only
+            cfg = dataclasses.replace(cfg, pattern=pat)
+        cfg = dataclasses.replace(
+            cfg, dist=DistConfig(pixel_tiles=pixel_tiles,
+                                 map_blocks=map_blocks))
+        Session(args.out, config=cfg)
     cmd_calibrate(ns(session=args.out, noise_px=0.0))
     for pose in range(args.scans):
         cmd_scan(ns(session=args.out, scene="bumps", pose=pose, noise=0.005))
@@ -285,6 +297,18 @@ def cmd_bench(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="slr", description=__doc__)
+    # multi-host bring-up (SURVEY.md §7 comm backend): on a pod slice every
+    # host runs the same command with its own --proc-id; jax.distributed
+    # joins them into one job before any backend use. Single-process (the
+    # default) skips initialization entirely. Proven cross-process in
+    # tests/test_multiprocess.py (2 and 4 local processes over Gloo).
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator address "
+                         "(multi-host jobs only)")
+    ap.add_argument("--num-procs", type=int, default=None, dest="num_procs",
+                    help="total process count of the distributed job")
+    ap.add_argument("--proc-id", type=int, default=None, dest="proc_id",
+                    help="this process's rank in [0, num-procs)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("scan", help="synthetic capture into a session")
@@ -333,6 +357,11 @@ def main(argv=None):
     p.add_argument("--coding", default="gray_phase",
                    choices=["gray_phase", "gray", "multifreq"],
                    help="temporal coding family (gray = Gray code only)")
+    p.add_argument("--pixel-tiles", type=int, default=1, dest="pixel_tiles",
+                   help="shard image rows over this many devices (config 5)")
+    p.add_argument("--map-blocks", type=int, default=1, dest="map_blocks",
+                   help="shard scans/landmarks over this many devices "
+                        "(config-5 distributed Schur BA)")
     p.set_defaults(fn=cmd_demo)
 
     p = sub.add_parser("import-scan", help="ingest a scan image folder")
@@ -370,6 +399,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if args.num_procs and args.num_procs > 1:
+        from slr.dist import init_distributed
+
+        init_distributed(coordinator=args.coordinator,
+                         num_processes=args.num_procs,
+                         process_id=args.proc_id)
     args.fn(args)
 
 

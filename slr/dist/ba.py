@@ -60,30 +60,63 @@ def _hat(v):
     )
 
 
-def _assemble_block(R, t, X, obs_s, obs_p, obs_w, S: int, damping: float):
+def _assemble_block(R, t, X, obs_s, obs_p, obs_w, S: int, damping: float,
+                    huber_delta: float = 0.0, obs_n=None):
     """Local (per map block) Schur assembly.
 
     X (Lb,3); obs_s (Lb,K) int32; obs_p (Lb,K,3); obs_w (Lb,K) weights
-    (0 = missing). Returns (H_red (6S,6S), g_red (6S,), cost, nres).
+    (0 = missing). ``huber_delta`` > 0 enables IRLS Huber robust weights:
+    residuals beyond delta are down-weighted by delta/||r|| so a few bad
+    correspondences cannot drag the pose block (VERDICT r2 next #4).
+
+    ``obs_n`` (Lb,K,3), scan-frame surface normals at obs_p, switches the
+    residual to POINT-TO-PLANE: r = n . (R^T(X - t) - p), one row per
+    observation instead of three. NN correspondences between distinct
+    random subsamples carry a lateral offset of ~one sample spacing;
+    point-to-point BA floors there, while the plane residual is blind to
+    in-plane offsets and converges to the true surface (same reasoning as
+    point-to-plane ICP, SURVEY.md 4.6). The row axis ``a`` below carries
+    both cases (A=3 point, A=1 plane) through identical Schur algebra.
+    Returns (H_red (6S,6S), g_red (6S,), cost, nres).
     """
     Rs = R[obs_s]                                   # (Lb,K,3,3)
     ts = t[obs_s]                                   # (Lb,K,3)
     x0 = jnp.einsum("lkij,lki->lkj", Rs, X[:, None, :] - ts)  # R^T (X - t)
-    # J_pose (3x6) = [-I | hat(x0)] ; J_X = R^T; weights applied via sqrt
-    # so H gets w and g gets w exactly once
-    U = jnp.concatenate(
-        [
-            jnp.broadcast_to(-jnp.eye(3), x0.shape[:-1] + (3, 3)),
-            _hat(x0),
-        ],
-        axis=-1,
-    )                                               # (Lb,K,3,6)
+    if huber_delta > 0.0:
+        if obs_n is None:
+            rn = jnp.linalg.norm(x0 - obs_p, axis=-1)   # (Lb,K)
+        else:
+            rn = jnp.abs(jnp.einsum("lki,lki->lk", obs_n, x0 - obs_p))
+        obs_w = obs_w * jnp.where(rn > huber_delta,
+                                  huber_delta / jnp.maximum(rn, 1e-12), 1.0)
     w = obs_w[..., None]
     sw = jnp.sqrt(jnp.where(w > 0, w, 0.0))
-    r1 = (x0 - obs_p) * sw                          # whitened residual
-    U1 = U * sw[..., None]                          # whitened pose jac
-    V1 = jnp.swapaxes(Rs, -1, -2) * sw[..., None]   # whitened J_X = R^T
-    # V1 is (Lb,K,3,3) with rows scaled: (sw * R^T)
+    if obs_n is None:
+        # J_pose (3x6) = [-I | hat(x0)] ; J_X = R^T; weights applied via
+        # sqrt so H gets w and g gets w exactly once
+        U = jnp.concatenate(
+            [
+                jnp.broadcast_to(-jnp.eye(3), x0.shape[:-1] + (3, 3)),
+                _hat(x0),
+            ],
+            axis=-1,
+        )                                           # (Lb,K,3,6)
+        r1 = (x0 - obs_p) * sw                      # whitened residual
+        U1 = U * sw[..., None]                      # whitened pose jac
+        V1 = jnp.swapaxes(Rs, -1, -2) * sw[..., None]  # whitened J_X = R^T
+        damping_ll = damping
+        res_rows = 3.0
+    else:
+        # scalar rows: J_pose = [-n | (n x x0)], J_X = (R n)^T
+        U = jnp.concatenate([-obs_n, jnp.cross(obs_n, x0)], axis=-1)
+        U1 = (U * sw)[..., None, :]                 # (Lb,K,1,6)
+        V1 = (jnp.einsum("lkij,lkj->lki", Rs, obs_n) * sw)[..., None, :]
+        r1 = (jnp.einsum("lki,lki->lk", obs_n, x0 - obs_p)
+              * sw[..., 0])[..., None]              # (Lb,K,1)
+        # plane rows leave landmarks free in the tangent plane; a real
+        # (not epsilon) Tikhonov keeps H_ll well-conditioned there
+        damping_ll = max(damping, 1e-2)
+        res_rows = 1.0
 
     UtU = jnp.einsum("lkai,lkaj->lkij", U1, U1)
     Utr = jnp.einsum("lkai,lka->lki", U1, r1)
@@ -95,7 +128,7 @@ def _assemble_block(R, t, X, obs_s, obs_p, obs_w, S: int, damping: float):
 
     # landmark blocks
     H_ll = jnp.einsum("lkai,lkaj->lij", V1, V1)     # (Lb,3,3)
-    H_ll = H_ll + damping * jnp.eye(3)
+    H_ll = H_ll + damping_ll * jnp.eye(3)
     g_l = jnp.einsum("lkai,lka->li", V1, r1)        # (Lb,3)
     W = jnp.einsum("lkai,lkaj->lkij", U1, V1)       # (Lb,K,6,3) per-obs W
 
@@ -116,7 +149,7 @@ def _assemble_block(R, t, X, obs_s, obs_p, obs_w, S: int, damping: float):
     H_red = H_red.at[jnp.arange(S), jnp.arange(S)].add(H_pp)
     g_red = g_p - g_cross
     cost = jnp.sum(r1 * r1)
-    nres = 3.0 * jnp.sum((obs_w > 0).astype(jnp.float32))
+    nres = res_rows * jnp.sum((obs_w > 0).astype(jnp.float32))
     return (
         H_red.transpose(0, 2, 1, 3).reshape(6 * S, 6 * S),
         g_red.reshape(-1),
@@ -133,9 +166,10 @@ def _back_substitute(H_ll_inv, g_l, W, obs_s, dxi, S: int):
     return -jnp.einsum("lij,lj->li", H_ll_inv, g_l + Wtd)
 
 
-def _ba_iteration(R, t, X, obs_s, obs_p, obs_w, S, damping, axis_name=None):
+def _ba_iteration(R, t, X, obs_s, obs_p, obs_w, S, damping, axis_name=None,
+                  huber_delta: float = 0.0, obs_n=None):
     H_red, g_red, cost, nres, (H_ll_inv, g_l, W) = _assemble_block(
-        R, t, X, obs_s, obs_p, obs_w, S, damping
+        R, t, X, obs_s, obs_p, obs_w, S, damping, huber_delta, obs_n
     )
     if axis_name is not None:
         H_red = jax.lax.psum(H_red, axis_name)
@@ -154,14 +188,16 @@ def _ba_iteration(R, t, X, obs_s, obs_p, obs_w, S, damping, axis_name=None):
 
 
 def bundle_adjust_reference(R, t, X, obs_s, obs_p, obs_w, iters: int = 10,
-                            damping: float = 1e-6):
+                            damping: float = 1e-6,
+                            huber_delta: float = 0.0, obs_n=None):
     """Single-device BA (no mesh) — the oracle for the distributed path."""
     S = R.shape[0]
 
     def body(carry, _):
         R, t, X = carry
         R, t, X, cost, nres = _ba_iteration(
-            R, t, X, obs_s, obs_p, obs_w, S, damping
+            R, t, X, obs_s, obs_p, obs_w, S, damping,
+            huber_delta=huber_delta, obs_n=obs_n
         )
         return (R, t, X), (cost, nres)
 
@@ -179,18 +215,21 @@ def distributed_bundle_adjust(
     mesh: Mesh,
     iters: int = 10,
     damping: float = 1e-6,
+    huber_delta: float = 0.0,
+    obs_n=None,
 ) -> BAResult:
     """Landmarks sharded over map_block; ONE psum per GN iteration crosses
     blocks (the reduced 6S pose system); solve replicated; landmark
     updates block-local. Deterministic: psum over a fixed mesh order."""
     S = R.shape[0]
 
-    def local(R, t, X_b, obs_s_b, obs_p_b, obs_w_b):
+    def local(R, t, X_b, obs_s_b, obs_p_b, obs_w_b, obs_n_b):
         def body(carry, _):
             R, t, X_b = carry
             R, t, X_b, cost, nres = _ba_iteration(
                 R, t, X_b, obs_s_b, obs_p_b, obs_w_b, S, damping,
-                axis_name="map_block",
+                axis_name="map_block", huber_delta=huber_delta,
+                obs_n=obs_n_b,
             )
             return (R, t, X_b), (cost, nres)
 
@@ -199,13 +238,25 @@ def distributed_bundle_adjust(
         )
         return R, t, X_b, costs[-1], nres[-1]
 
+    if obs_n is None:
+        # shard_map cannot carry None leaves; a zero normal never selects
+        # the plane path (the branch is static on the caller's obs_n)
+        local_in = local
+        def local(R, t, X_b, s_b, p_b, w_b):
+            return local_in(R, t, X_b, s_b, p_b, w_b, None)
+        args = (R, t, X, obs_s, obs_p, obs_w)
+        in_specs = (P(), P(), P("map_block"), P("map_block"), P("map_block"),
+                    P("map_block"))
+    else:
+        args = (R, t, X, obs_s, obs_p, obs_w, obs_n)
+        in_specs = (P(), P(), P("map_block"), P("map_block"), P("map_block"),
+                    P("map_block"), P("map_block"))
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P("map_block"), P("map_block"), P("map_block"),
-                  P("map_block")),
+        in_specs=in_specs,
         out_specs=(P(), P(), P("map_block"), P(), P()),
         check_vma=False,
     )
-    R, t, X, cost, nres = fn(R, t, X, obs_s, obs_p, obs_w)
+    R, t, X, cost, nres = fn(*args)
     return BAResult(R=R, t=t, X=X, cost=cost, rms=jnp.sqrt(cost / nres))

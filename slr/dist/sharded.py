@@ -75,9 +75,9 @@ def sharded_reconstruct(
     spatial_iters: int = 0,
 ):
     """Full decode -> unwrap -> triangulate with rows sharded on
-    pixel_tile. Returns (points (H,W,3), mask, x_p) with the same
-    sharding. Row indices are offset per shard so the camera model sees
-    global pixel coordinates.
+    pixel_tile. Returns (points (H,W,3), mask, x_p, quality) with the
+    same sharding. Row indices are offset per shard so the camera model
+    sees global pixel coordinates.
     """
     H = frames.shape[1]
     n_tiles = mesh.shape["pixel_tile"]
@@ -107,13 +107,13 @@ def sharded_reconstruct(
             v = jax.lax.broadcasted_iota(jnp.float32, (h_l, w), 0) + row0
             u = jax.lax.broadcasted_iota(jnp.float32, (h_l, w), 1)
             pts, _ = triangulate_plane(cam, proj, u, v, x_p)
-        return pts, mask, x_p
+        return pts, mask, x_p, quality
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, "pixel_tile", None),),
-        out_specs=(P("pixel_tile"), P("pixel_tile"), P("pixel_tile")),
+        out_specs=(P("pixel_tile"),) * 4,
         check_vma=False,
     )
     return fn(frames)

@@ -184,44 +184,70 @@ def ba_refine(
     corr_dist: float = 3.0,
     iters: int = 8,
     mesh=None,
+    rounds: int = 2,
+    huber_delta: float = 1.0,
+    point_to_plane: bool = True,
 ) -> RegisteredScans:
     """Multi-scan bundle adjustment on top of the pose-graph solution
     (SURVEY.md 4.7, the "multi-scan BA RMS" metric [B:2]).
 
-    Landmarks are sampled from the anchor-frame surface; each scan
-    observing a landmark (NN within corr_dist in its own frame)
-    contributes a residual. Poses + landmarks refine jointly through the
+    Landmarks are sampled from EVERY scan's surface (mapped to the world
+    frame with the current pose estimates), so each pose is constrained
+    by landmarks it observes well — sampling scan 0 only starves the far
+    end of the orbit. Each scan observing a landmark (NN within
+    corr_dist in its own frame) contributes a residual with a Huber
+    robust weight; poses + landmarks refine jointly through the
     Schur-complement solver — distributed over map_block when a mesh is
-    given, else the single-device oracle path.
+    given, else the single-device oracle path. Correspondences are
+    re-associated from the refined poses between ``rounds`` solve
+    rounds (fixed-once data association stalls on drifted inits).
     """
     from slr.dist.ba import bundle_adjust_reference, distributed_bundle_adjust
     from slr.registration.nn import nearest_neighbors
 
     S = len(clouds)
     samples = [_subsample(c, 4096, seed=100 + i) for i, c in enumerate(clouds)]
-    # landmarks: subsample of scan 0 in the anchor (world) frame
-    X0 = samples[0][0][:n_landmarks]
-    obs_s, obs_p, obs_w = [], [], []
-    for s in range(S):
-        pts_s = samples[s][0]
-        # landmark in scan-s frame: X_s = R_s^T (X - t_s)
-        Xl = (X0 - reg.t[s]) @ reg.R[s]
-        idx, d2 = nearest_neighbors(Xl, pts_s, tile=2048)
-        w = (d2 < corr_dist * corr_dist).astype(jnp.float32)
-        obs_s.append(jnp.full((n_landmarks,), s, jnp.int32))
-        obs_p.append(pts_s[idx])
-        obs_w.append(w)
-    obs_s = jnp.stack(obs_s, axis=1)      # (L, S)
-    obs_p = jnp.stack(obs_p, axis=1)      # (L, S, 3)
-    obs_w = jnp.stack(obs_w, axis=1)      # (L, S)
-    if mesh is not None:
-        res = distributed_bundle_adjust(
-            reg.R, reg.t, X0, obs_s, obs_p, obs_w, mesh, iters=iters
-        )
-    else:
-        res = bundle_adjust_reference(
-            reg.R, reg.t, X0, obs_s, obs_p, obs_w, iters=iters
-        )
+    R_cur, t_cur = reg.R, reg.t
+
+    # landmarks: an even draw over all scans, in the anchor (world) frame
+    per = [n_landmarks // S + (1 if i < n_landmarks % S else 0)
+           for i in range(S)]
+
+    def world_landmarks(R, t):
+        return jnp.concatenate([
+            samples[s][0][:per[s]] @ R[s].T + t[s] for s in range(S)
+        ])
+
+    X0 = world_landmarks(R_cur, t_cur)
+    res = None
+    it_per_round = max(1, iters // max(1, rounds))
+    for rnd in range(max(1, rounds)):
+        obs_s, obs_p, obs_w, obs_n = [], [], [], []
+        for s in range(S):
+            pts_s, nrm_s = samples[s]
+            # landmark in scan-s frame: X_s = R_s^T (X - t_s)
+            Xl = (X0 - t_cur[s]) @ R_cur[s]
+            idx, d2 = nearest_neighbors(Xl, pts_s, tile=2048)
+            w = (d2 < corr_dist * corr_dist).astype(jnp.float32)
+            obs_s.append(jnp.full((n_landmarks,), s, jnp.int32))
+            obs_p.append(pts_s[idx])
+            obs_n.append(nrm_s[idx])
+            obs_w.append(w)
+        obs_s = jnp.stack(obs_s, axis=1)      # (L, S)
+        obs_p = jnp.stack(obs_p, axis=1)      # (L, S, 3)
+        obs_w = jnp.stack(obs_w, axis=1)      # (L, S)
+        obs_n = jnp.stack(obs_n, axis=1) if point_to_plane else None
+        if mesh is not None:
+            res = distributed_bundle_adjust(
+                R_cur, t_cur, X0, obs_s, obs_p, obs_w, mesh,
+                iters=it_per_round, huber_delta=huber_delta, obs_n=obs_n,
+            )
+        else:
+            res = bundle_adjust_reference(
+                R_cur, t_cur, X0, obs_s, obs_p, obs_w,
+                iters=it_per_round, huber_delta=huber_delta, obs_n=obs_n,
+            )
+        R_cur, t_cur, X0 = res.R, res.t, res.X
     return RegisteredScans(R=res.R, t=res.t, icp_rms=reg.icp_rms,
                            pg_rms=res.rms)
 

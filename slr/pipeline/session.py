@@ -54,6 +54,36 @@ class Session:
         calib = self.root / "calibration.json"
         if calib.exists():
             self.cam, self.proj, self.calib_meta = load_calibration(calib)
+        self._mesh = None
+
+    @property
+    def mesh(self):
+        """Device mesh from config.dist (config-5 [B:12] product path).
+
+        Built lazily on first use: ``pixel_tiles`` shards image rows
+        inside each scan, ``map_blocks`` shards scans/landmark fragments.
+        None when the config is single-device or the machine has fewer
+        devices than the requested layout (everything falls back to the
+        single-device paths)."""
+        if self._mesh is not None:
+            return self._mesh
+        d = self.config.dist
+        n = d.pixel_tiles * d.map_blocks
+        if n <= 1:
+            return None
+        import jax
+
+        if len(jax.devices()) < n:
+            from slr.observability import log_event
+            log_event("mesh_fallback", requested=n,
+                      available=len(jax.devices()))
+            return None
+        from slr.dist import make_mesh
+
+        self._mesh = make_mesh(pixel_tiles=d.pixel_tiles,
+                               map_blocks=d.map_blocks,
+                               devices=jax.devices()[:n])
+        return self._mesh
 
     # --- calibration ---
     def set_calibration(self, cam: Camera, proj: Camera, meta=None):
@@ -80,8 +110,24 @@ class Session:
         assert self.cam is not None, "calibrate or set_calibration first"
         frames = self.load_scan(idx)
         p = self.config.pattern
-        if fused and p.phase_steps > 0 and (p.use_inverse
-                                            or p.coding == "multifreq"):
+        mesh = self.mesh
+        H = frames.shape[1]
+        if (mesh is not None and mesh.shape["pixel_tile"] > 1
+                and H % mesh.shape["pixel_tile"] == 0):
+            # config-5 pixel-tile route: rows sharded over the mesh, the
+            # production fused kernel per shard (slr.dist.sharded)
+            from slr.dist import sharded_reconstruct
+            from slr.pipeline.reconstruct import _white_color
+
+            pts, mask, x_p, quality = sharded_reconstruct(
+                frames, self.cam, self.proj, p, self.config.decode, mesh,
+                spatial_iters=spatial_iters,
+            )
+            cloud = ScanCloud(points=pts, mask=mask,
+                              colors=_white_color(frames),
+                              quality=quality, x_p=x_p)
+        elif fused and p.phase_steps > 0 and (p.use_inverse
+                                              or p.coding == "multifreq"):
             cloud = reconstruct_dense(
                 frames, self.cam, self.proj, p, self.config.decode,
                 self.config.reconstruct, spatial_iters=spatial_iters,
@@ -110,6 +156,44 @@ class Session:
         )
         return cloud
 
+    def reconstruct_all(self, fused: bool = True) -> int:
+        """Reconstruct every captured scan in one batched dispatch
+        (config-5 DP: the batch axis sharded over map_block when the
+        session mesh has one — slr.dist.batch). Falls back to the
+        per-scan path when a pixel-tile mesh or spatial repair is
+        configured. Returns the number of scans reconstructed."""
+        n = len(self.scan_paths())
+        if n == 0:
+            return 0
+        mesh = self.mesh
+        if mesh is not None and mesh.shape["pixel_tile"] > 1:
+            for i in range(n):
+                self.reconstruct(i, fused=fused)
+            return n
+        from slr.dist.batch import batched_reconstruct
+
+        frames = jnp.stack([self.load_scan(i) for i in range(n)])
+        blocks = mesh.shape["map_block"] if mesh is not None else 1
+        pad = (-n) % blocks
+        if pad:
+            frames = jnp.concatenate([frames, frames[-1:].repeat(pad, 0)])
+        clouds = batched_reconstruct(
+            frames, self.cam, self.proj, self.config.pattern,
+            self.config.decode, self.config.reconstruct,
+            mesh=mesh, fused=fused and self.config.pattern.phase_steps > 0
+            and self.config.pattern.use_inverse,
+        )
+        for i in range(n):
+            save_stage(
+                self.root / "clouds" / f"scan_{i:03d}.npz",
+                points=np.asarray(clouds.points[i]),
+                mask=np.asarray(clouds.mask[i]),
+                colors=np.asarray(clouds.colors[i]),
+                quality=np.asarray(clouds.quality[i]),
+                x_p=np.asarray(clouds.x_p[i]),
+            )
+        return n
+
     def load_cloud(self, idx: int) -> ScanCloud:
         d = load_stage(self.root / "clouds" / f"scan_{idx:03d}.npz")
         return ScanCloud(
@@ -132,7 +216,15 @@ class Session:
         if refine_ba and len(clouds) > 2:
             from slr.pipeline.registerfuse import ba_refine
 
-            reg = ba_refine(clouds, reg, iters=self.config.registration.pg_iters)
+            # config-5: the distributed Schur solver (landmarks over
+            # map_block) is what the product path runs when the session
+            # mesh has a map_block axis
+            mesh = self.mesh
+            if mesh is not None and mesh.shape["map_block"] <= 1:
+                mesh = None
+            reg = ba_refine(clouds, reg,
+                            iters=self.config.registration.pg_iters,
+                            mesh=mesh)
         save_stage(self.root / "registration.npz",
                    R=np.asarray(reg.R), t=np.asarray(reg.t),
                    icp_rms=np.asarray(reg.icp_rms),

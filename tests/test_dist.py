@@ -71,7 +71,7 @@ def test_sharded_reconstruct_matches_unsharded():
     scan = render_scan(cam, proj, depth, cfg)
 
     mesh = make_mesh(pixel_tiles=8, map_blocks=1)
-    pts_s, mask_s, xp_s = sharded_reconstruct(
+    pts_s, mask_s, xp_s, _ = sharded_reconstruct(
         scan.frames, cam, proj, cfg, dec, mesh
     )
 
@@ -109,10 +109,10 @@ def test_sharded_reconstruct_spatial_iters():
     depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=20.0)
     scan = render_scan(cam, proj, depth, cfg)
     mesh = make_mesh(pixel_tiles=8, map_blocks=1)
-    pts0, mask0, xp0 = sharded_reconstruct(
+    pts0, mask0, xp0, _ = sharded_reconstruct(
         scan.frames, cam, proj, cfg, dec, mesh, spatial_iters=0
     )
-    pts4, mask4, xp4 = sharded_reconstruct(
+    pts4, mask4, xp4, _ = sharded_reconstruct(
         scan.frames, cam, proj, cfg, dec, mesh, spatial_iters=4
     )
     np.testing.assert_array_equal(np.asarray(mask0), np.asarray(mask4))

@@ -172,8 +172,52 @@ def test_session_end_to_end(tmp_path):
     assert sess2.cam is not None
 
 
-def test_ba_refine_improves_or_holds_poses():
-    """Multi-scan BA on top of the pose graph: the BA RMS metric [B:2]."""
+def _pose_err(R_est, t_est, R_m, t_m):
+    rot = np.degrees(np.arccos(np.clip(
+        (np.trace(np.asarray(R_est).T @ np.asarray(R_m)) - 1) / 2, -1, 1)))
+    return rot, float(jnp.linalg.norm(jnp.asarray(t_est) - jnp.asarray(t_m)))
+
+
+def test_ba_refine_improves_drifted_poses():
+    """Multi-scan BA must MEASURABLY improve drifted poses on a 5-scan
+    orbit — the "multi-scan BA RMS" metric [B:2] (VERDICT r2 next #4:
+    a refinement whose done-criterion is 'not worse' is not earning it).
+    Init = ground truth + growing drift (the pose-graph failure mode);
+    BA with all-scan landmarks, re-association and Huber weights must cut
+    the mean pose error at least in half."""
+    from slr.pipeline import ba_refine
+    from slr.pipeline.registerfuse import RegisteredScans
+    cam, cfg, clouds, poses, _ = _render_multi(S=5)
+    r = np.random.default_rng(3)
+    R_drift, t_drift = [], []
+    for s, (R_m, t_m) in enumerate(poses):
+        # drift grows along the chain, up to ~0.6 deg / ~1.8 mm
+        ang = 0.0025 * s * r.standard_normal(3)
+        R_drift.append(np.asarray(R_m) @ np.asarray(so3_exp(
+            jnp.asarray(ang, jnp.float32))))
+        t_drift.append(np.asarray(t_m) + 0.45 * s * r.standard_normal(3))
+    reg0 = RegisteredScans(
+        R=jnp.asarray(np.stack(R_drift), jnp.float32),
+        t=jnp.asarray(np.stack(t_drift), jnp.float32),
+        icp_rms=jnp.zeros(len(poses) - 1), pg_rms=jnp.float32(0.0))
+
+    reg2 = ba_refine(clouds, reg0, n_landmarks=320, iters=8, rounds=2)
+    assert float(reg2.pg_rms) < 1.5, float(reg2.pg_rms)
+
+    rot_before, te_before, rot_after, te_after = [], [], [], []
+    for s, (R_m, t_m) in enumerate(poses):
+        r0, te0 = _pose_err(reg0.R[s], reg0.t[s], R_m, t_m)
+        r1, te1 = _pose_err(reg2.R[s], reg2.t[s], R_m, t_m)
+        rot_before.append(r0); te_before.append(te0)
+        rot_after.append(r1); te_after.append(te1)
+    # strict improvement: mean pose error at least halved
+    assert np.mean(te_after) < 0.5 * np.mean(te_before), (te_before, te_after)
+    assert np.mean(rot_after) < 0.75 * np.mean(rot_before), (
+        rot_before, rot_after)
+
+
+def test_ba_refine_holds_good_poses():
+    """From an already-good pose-graph solution BA must not degrade."""
     from slr.pipeline import ba_refine
     cam, cfg, clouds, poses, _ = _render_multi(S=3)
     reg = register_scans(clouds, RegistrationConfig(icp_sample_points=2048),
@@ -182,16 +226,9 @@ def test_ba_refine_improves_or_holds_poses():
     # point-to-point BA residual floors at the NN sample spacing (~1 mm
     # lateral offset between a landmark and its nearest sampled point)
     assert float(reg2.pg_rms) < 1.5, float(reg2.pg_rms)
-
-    def pose_err(R_est, t_est, R_m, t_m):
-        rot = np.degrees(np.arccos(np.clip(
-            (np.trace(np.asarray(R_est).T @ np.asarray(R_m)) - 1) / 2, -1, 1)))
-        return rot, float(jnp.linalg.norm(t_est - t_m))
-
     for s, (R_m, t_m) in enumerate(poses):
-        rot0, te0 = pose_err(reg.R[s], reg.t[s], R_m, t_m)
-        rot1, te1 = pose_err(reg2.R[s], reg2.t[s], R_m, t_m)
-        # BA must not degrade the pose-graph estimate materially
+        rot0, te0 = _pose_err(reg.R[s], reg.t[s], R_m, t_m)
+        rot1, te1 = _pose_err(reg2.R[s], reg2.t[s], R_m, t_m)
         assert rot1 < max(1.5 * rot0, 0.5), (s, rot0, rot1)
         assert te1 < max(1.5 * te0, 2.0), (s, te0, te1)
 
@@ -378,3 +415,90 @@ def test_config3_wavefront_spatial_mode():
     r_base, r_wave = rms_on(base), rms_on(wave)
     assert r_wave < 1.0, r_wave
     assert r_wave < r_base + 0.05, (r_wave, r_base)
+
+
+def test_config5_session_product_path(tmp_path):
+    """Config 5 [B:12] driven purely through the product surface
+    (Session + config; zero slr.dist imports here): DistConfig builds the
+    2x4 mesh, reconstruction takes the pixel-tile-sharded fused-kernel
+    path, register runs the map-block-distributed Schur BA, fuse merges.
+    VERDICT r2 missing #2."""
+    from slr.config import DistConfig
+
+    cfg = ScanConfig(
+        pattern=PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H,
+                              gray_bits=6, phase_steps=4),
+        cam_width=CAM_W, cam_height=CAM_H,
+        registration=RegistrationConfig(icp_sample_points=1024),
+        dist=DistConfig(pixel_tiles=4, map_blocks=2),
+    )
+    sess = Session(tmp_path / "s5", config=cfg)
+    cam, proj = _rig()
+    sess.set_calibration(cam, proj)
+    poses = _poses(3)
+    scans = []
+    for s, (R_m, t_m) in enumerate(poses):
+        cam_s, proj_s = move_rig(cam, proj, R_m, t_m)
+        scan = render_scan(cam_s, proj_s, _scene(cam_s), cfg.pattern,
+                           noise_std=0.003, key=jax.random.PRNGKey(20 + s))
+        sess.add_scan(scan.frames)
+        scans.append(scan)
+    # the DistConfig became a real mesh
+    assert sess.mesh is not None
+    assert dict(sess.mesh.shape) == {"map_block": 2, "pixel_tile": 4}
+
+    for s, (R_m, t_m) in enumerate(poses):
+        cloud = sess.reconstruct(s)
+        valid = cloud.mask & scans[s].mask_true
+        # clouds are rig-frame; ground truth is world-frame: apply the
+        # known rig pose before comparing
+        world = cloud.points @ R_m.T + t_m
+        err = jnp.where(valid, jnp.linalg.norm(
+            world - scans[s].points_true, axis=-1), 0.0)
+        rms = float(jnp.sqrt(jnp.sum(err * err) / jnp.sum(valid)))
+        assert rms < 1.0, (s, rms)  # sub-mm through the sharded path
+
+    reg = sess.register(use_features=False)   # pose graph + distributed BA
+    for s, (R_m, t_m) in enumerate(poses):
+        rot_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(reg.R[s]).T @ np.asarray(R_m)) - 1) / 2,
+            -1, 1)))
+        t_err = float(jnp.linalg.norm(reg.t[s] - t_m))
+        assert rot_err < 0.5, (s, rot_err)
+        assert t_err < 2.0, (s, t_err)
+
+    out = sess.fuse(capacity=1 << 16)
+    from slr.io import read_ply
+    pts, _, _ = read_ply(out)
+    assert pts.shape[0] > 1000
+
+
+def test_session_reconstruct_all_batched(tmp_path):
+    """DP batch route (config-5 map_block data parallel) through the
+    Session surface: reconstruct_all == per-scan reconstruct_dense."""
+    from slr.config import DistConfig
+
+    cfg = ScanConfig(
+        pattern=PatternConfig(proj_width=PROJ_W, proj_height=PROJ_H,
+                              gray_bits=6, phase_steps=4),
+        cam_width=CAM_W, cam_height=CAM_H,
+        dist=DistConfig(pixel_tiles=1, map_blocks=4),
+    )
+    sess = Session(tmp_path / "dp", config=cfg)
+    cam, proj = _rig()
+    sess.set_calibration(cam, proj)
+    scans = []
+    for s in range(2):   # 2 scans over 4 blocks: exercises batch padding
+        scan = render_scan(cam, proj, _scene(cam), cfg.pattern,
+                           noise_std=0.003, key=jax.random.PRNGKey(30 + s))
+        sess.add_scan(scan.frames)
+        scans.append(scan)
+    assert sess.reconstruct_all() == 2
+    for s in range(2):
+        cloud = sess.load_cloud(s)
+        ref = reconstruct_dense(scans[s].frames, cam, proj, cfg.pattern)
+        # vmap reorders fusion: agreement to ~micron, not bit-exact
+        np.testing.assert_allclose(np.asarray(cloud.points),
+                                   np.asarray(ref.points), atol=1e-2)
+        agree = np.mean(np.asarray(cloud.mask) == np.asarray(ref.mask))
+        assert agree > 0.999, agree
