@@ -148,13 +148,20 @@ def cmd_reconstruct(args):
 
     sess = Session(args.session)
     t0 = time.time()
+    accumulate = getattr(args, "accumulate", False)
     cloud = sess.reconstruct(args.index, fused=not args.no_fused,
-                             spatial_iters=args.spatial_iters)
+                             spatial_iters=args.spatial_iters,
+                             accumulate=accumulate)
     import jax
     jax.block_until_ready(cloud.points)
     n = int(np.asarray(cloud.mask).sum())
     print(f"scan {args.index}: {n} valid points in "
           f"{(time.time()-t0)*1e3:.1f} ms -> {args.session}/clouds/")
+    if accumulate:
+        from slr.io import load_stage
+        d = load_stage(sess.root / "clouds" / f"scan_{args.index:03d}.npz")
+        print(f"projector-grid accumulation: "
+              f"{int(d['acc_mask'].sum())} occupied cells")
     if args.ply:
         from slr.io import write_ply
         out = f"{args.session}/clouds/scan_{args.index:03d}.ply"
@@ -333,6 +340,9 @@ def main(argv=None):
     p.add_argument("--no-fused", action="store_true")
     p.add_argument("--spatial-iters", type=int, default=0)
     p.add_argument("--ply", action="store_true")
+    p.add_argument("--accumulate", action="store_true",
+                   help="also bin the cloud onto the projector column "
+                        "grid (component-13 accumulation stage)")
     p.set_defaults(fn=cmd_reconstruct)
 
     p = sub.add_parser("register", help="align all reconstructed scans")

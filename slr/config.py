@@ -135,6 +135,11 @@ class ReconstructConfig:
     min_depth: float = 1.0        # z bounds filter, scene units
     max_depth: float = 1e4
     max_points: int = 1 << 20     # fixed-capacity cloud buffer under jit
+    # checkify sanitizer gates (SURVEY.md section 7): when on, Session
+    # raises a located error on NaN points / near-empty masks instead of
+    # persisting a broken cloud
+    checked: bool = False
+    min_valid_fraction: float = 0.01
     # statistical outlier removal on the reconstructed cloud (0 = off)
     sor_k: int = 0                # neighbors per point for the k-NN mean
     sor_std_ratio: float = 2.0    # keep md <= mean + ratio * std

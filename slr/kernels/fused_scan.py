@@ -79,18 +79,29 @@ def _gray_decode_block(ld, first: int, bits: int, tau_white, certain):
 def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
             *, bits: int, row_bits: int, steps: int, row_steps: int,
             tile_h: int, undistort_iters: int, scale: float,
+            tau_black, tau_white, tau_mod,
             mf_pitches: tuple = ()):
-    # Frame loader: integer (8-bit camera) stacks are normalized to [0,1]
-    # in-register — the HBM read is 1 byte/px instead of 4 and all
-    # downstream math/thresholds stay in normalized units.
+    # Frame loaders. Integer (8-bit camera) stacks read 1 byte/px from
+    # HBM; all comparisons (Gray bits, contrast/certainty thresholds)
+    # stay in the INTEGER domain — the int->f32 convert is VPU-bound and
+    # f32-converting every frame erased the 4x HBM win (VERDICT r2 next
+    # #5). Only the N phase frames are converted (their sin/cos sums need
+    # f32), in RAW units: atan2 ratios are scale-invariant, and the
+    # modulation output is rescaled once at the end. The tau_* thresholds
+    # arrive as compile-time constants already expressed in raw units
+    # (integers for integer stacks), so no comparison promotes to f32.
     if scale != 1.0:
-        def ld(i):
-            return f_ref[i].astype(jnp.int32).astype(jnp.float32) * scale
+        def raw(i):
+            return f_ref[i].astype(jnp.int32)
+
+        def rawf(i):
+            return f_ref[i].astype(jnp.int32).astype(jnp.float32)
     else:
-        def ld(i):
+        def raw(i):
             return f_ref[i]
+
+        rawf = raw
     p = params_ref
-    tau_black, tau_white, tau_mod = p[0, 0], p[0, 1], p[0, 2]
     fx, fy, cx, cy = p[0, 3], p[0, 4], p[0, 5], p[0, 6]
     k1, k2, p1, p2, k3 = p[0, 7], p[0, 8], p[0, 9], p[0, 10], p[0, 11]
     pfx, pfy, pcx, pcy = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
@@ -105,9 +116,9 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     zmin, zmax = p[0, 35], p[0, 36]
     row_off = p[0, 37]   # global row of this block's first row (sharding)
 
-    white = ld(0)
-    black = ld(1)
-    contrast = white - black
+    white = raw(0)
+    black = raw(1)
+    contrast = white - black            # raw units (int for int stacks)
     certain = contrast > tau_black
 
     if mf_pitches:
@@ -120,12 +131,12 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
             C = jnp.zeros(white.shape, jnp.float32)
             for k in range(steps):
                 d = TWO_PI * k / steps
-                fk = ld(2 + li * steps + k)
+                fk = rawf(2 + li * steps + k)
                 S = S + fk * math.sin(d)
                 C = C + fk * math.cos(d)
             phi = _atan2(S, C)
             phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)  # [0, 2pi)
-            B = (2.0 / steps) * jnp.sqrt(S * S + C * C)
+            B = (2.0 / steps) * jnp.sqrt(S * S + C * C)    # raw units
             mask = mask & (B > tau_mod)
             if Phi is None:
                 Phi = phi            # coarsest pitch spans W: absolute
@@ -135,6 +146,7 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
                 k_ord = jnp.round((prev_in_cur - phi) / TWO_PI)
                 Phi = phi + TWO_PI * k_ord
                 modulation = jnp.minimum(modulation, B)
+        modulation = modulation * scale if scale != 1.0 else modulation
         x_p = Phi * (mf_pitches[-1] / TWO_PI)
         # atan2 rounding at x=0 can wrap to the top of the unambiguous
         # range (one coarse period); fold it back
@@ -143,9 +155,9 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     else:
         # --- column Gray decode + N-step phase (the reference scheme) ---
         x_p, y_p, mask, modulation = _gray_phase_decode(
-            ld, certain, contrast,
+            raw, rawf, certain, contrast,
             bits=bits, row_bits=row_bits, steps=steps, row_steps=row_steps,
-            tau_white=tau_white, tau_mod=tau_mod,
+            tau_white=tau_white, tau_mod=tau_mod, scale=scale,
             pitch=pitch, row_pitch=row_pitch)
 
     # --- camera ray (undistort); unnormalized d1 = (xn, yn, 1) so the
@@ -205,18 +217,23 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     xp_ref[:] = x_p
 
 
-def _gray_phase_decode(ld, certain, contrast, *, bits, row_bits, steps,
-                       row_steps, tau_white, tau_mod, pitch, row_pitch):
+def _gray_phase_decode(raw, rawf, certain, contrast, *, bits, row_bits,
+                       steps, row_steps, tau_white, tau_mod, scale,
+                       pitch, row_pitch):
     """Gray(+inverse) decode + N-step phase + cyclic half-shifted unwrap —
-    the reference coding scheme. Returns (x_p, y_p, mask, modulation)."""
+    the reference coding scheme. ``raw``/``rawf`` load frames in raw
+    (unnormalized) units — integer for integer stacks, so the Gray
+    comparisons never touch the VPU int->f32 converter; only the phase
+    frames go through ``rawf``. Returns (x_p, y_p, mask, modulation),
+    modulation rescaled to normalized units."""
     shape = contrast.shape
-    b, certain = _gray_decode_block(ld, 2, bits, tau_white, certain)
+    b, certain = _gray_decode_block(raw, 2, bits, tau_white, certain)
 
     # --- optional row Gray decode (y_p computed after the mask exists) ---
     rb = None
     if row_bits:
         rb, certain = _gray_decode_block(
-            ld, 2 + 2 * bits, row_bits, tau_white, certain
+            raw, 2 + 2 * bits, row_bits, tau_white, certain
         )
 
     # --- N-step phase (or Gray-only half-stripe centres when steps==0) ---
@@ -226,13 +243,15 @@ def _gray_phase_decode(ld, certain, contrast, *, bits, row_bits, steps,
         base = 2 + 2 * bits + 2 * row_bits
         for k in range(steps):
             d = TWO_PI * k / steps
-            fk = ld(base + k)
+            fk = rawf(base + k)
             S = S + fk * math.sin(d)
             C = C + fk * math.cos(d)
         phi = _atan2(S, C)
         phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
-        modulation = (2.0 / steps) * jnp.sqrt(S * S + C * C)
+        modulation = (2.0 / steps) * jnp.sqrt(S * S + C * C)  # raw units
         mask = certain & (modulation > tau_mod)
+        if scale != 1.0:
+            modulation = modulation * scale
 
         # --- cyclic half-shifted temporal unwrap ---
         n = 1 << bits
@@ -245,7 +264,8 @@ def _gray_phase_decode(ld, certain, contrast, *, bits, row_bits, steps,
     else:
         # config-1 Gray-only decode: stripe centre, aligned layout
         x_p = (b.astype(jnp.float32) + 0.5) * pitch
-        modulation = contrast
+        modulation = (contrast.astype(jnp.float32) * scale
+                      if scale != 1.0 else contrast)
         mask = certain
 
     # --- projector row: half-stripe centres, or sub-pixel via the row
@@ -258,7 +278,7 @@ def _gray_phase_decode(ld, certain, contrast, *, bits, row_bits, steps,
             Cr = jnp.zeros(shape, jnp.float32)
             for k in range(row_steps):
                 d = TWO_PI * k / row_steps
-                fk = ld(base_r + k)
+                fk = rawf(base_r + k)
                 Sr = Sr + fk * math.sin(d)
                 Cr = Cr + fk * math.cos(d)
             rphi = _atan2(Sr, Cr)
@@ -312,9 +332,17 @@ def fused_decode_triangulate(
              else jnp.iinfo(frames.dtype).max)
         scale = 1.0 / float(m)
         in_bytes = frames.dtype.itemsize
+        # thresholds in raw ADC counts, as Python ints, so every in-kernel
+        # comparison stays integer (no VPU int->f32 conversion)
+        tau_black_k = int(round(dec.black_threshold * m))
+        tau_white_k = int(round(dec.white_threshold * m))
+        tau_mod_k = dec.modulation_threshold * m  # gates the f32 phase sum
     else:
         scale = 1.0
         in_bytes = 4
+        tau_black_k = dec.black_threshold
+        tau_white_k = dec.white_threshold
+        tau_mod_k = dec.modulation_threshold
 
     # pad W to lanes, H to tile
     Wp = round_up(W, 128)
@@ -352,6 +380,9 @@ def fused_decode_triangulate(
         tile_h=tile_h,
         undistort_iters=undistort_iters,
         scale=scale,
+        tau_black=tau_black_k,
+        tau_white=tau_white_k,
+        tau_mod=tau_mod_k,
         mf_pitches=cfg.mf_pitches if multifreq else (),
     )
     grid = (Hp // tile_h,)

@@ -18,7 +18,9 @@ from slr.pipeline.reconstruct import (
     accumulate_by_projector,
     ScanCloud,
 )
-from slr.pipeline.registerfuse import register_scans, fuse_scans, ba_refine
+from slr.pipeline.registerfuse import (
+    ba_refine, fuse_scans, register_scans, register_scans_batched,
+)
 from slr.pipeline.session import Session
 from slr.pipeline.meshing import grid_faces, write_mesh_obj
 from slr.pipeline.checks import checked_reconstruct, nan_guard

@@ -12,6 +12,7 @@ from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from slr.config import RegistrationConfig
 from slr.pipeline.reconstruct import ScanCloud
@@ -164,6 +165,197 @@ def register_scans(
             edges.append((i, j))
             Zr.append(res.R)
             Zt.append(res.t)
+
+    ei = jnp.asarray([e[0] for e in edges], jnp.int32)
+    ej = jnp.asarray([e[1] for e in edges], jnp.int32)
+    pg = pose_graph_optimize(
+        jnp.stack(R_init), jnp.stack(t_init), ei, ej,
+        jnp.stack(Zr), jnp.stack(Zt),
+        iters=cfg.pg_iters, damping=cfg.pg_damping,
+    )
+    return RegisteredScans(
+        R=pg.R, t=pg.t, icp_rms=jnp.stack(rms_list), pg_rms=pg.rms
+    )
+
+
+def _batched_fine(src, tgt_p, tgt_n, cfg, R0=None, t0=None,
+                  grids=None, cam=None, tgt_idx=None):
+    """One vmapped ICP dispatch over a batch of edges. src (E,N,3);
+    tgt_p/tgt_n (E,N,3); optional (E,) inits; optional projective polish
+    against stacked organized target grids."""
+    E = src.shape[0]
+    if R0 is None:
+        R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (E, 3, 3))
+        t0 = jnp.zeros((E, 3), jnp.float32)
+
+    def one(s, tp, tn, R_i, t_i):
+        return icp_point_to_plane(
+            s, tp, tn, R0=R_i, t0=t_i,
+            iters=cfg.icp_iters, max_corr_dist=cfg.icp_max_corr_dist,
+        )
+
+    res = jax.vmap(one)(src, tgt_p, tgt_n, R0, t0)
+    if grids is not None:
+        from slr.registration.projective import icp_projective
+
+        g_pts, g_mask, g_nrm = grids
+        tp, tm, tn = g_pts[tgt_idx], g_mask[tgt_idx], g_nrm[tgt_idx]
+
+        def polish(s, tg, tmk, tnr, R_i, t_i):
+            return icp_projective(
+                s, jnp.ones(s.shape[0], bool), tg, tmk, tnr, cam,
+                R0=R_i, t0=t_i, iters=max(8, cfg.icp_iters // 2),
+                max_corr_dist=cfg.icp_max_corr_dist,
+            )
+
+        res = jax.vmap(polish)(src, tp, tm, tn, res.R, res.t)
+    return res
+
+
+def _batched_feature_race(src, src_n, tgt_p, tgt_n, res, cfg, race_mask,
+                          grids=None, cam=None, tgt_idx=None):
+    """Batched FPFH+RANSAC init + ICP for every edge, then a device-side
+    select of whichever result locked better (same rule as the sequential
+    race) — no per-edge host sync. ``race_mask`` (E,) bool: edges where
+    the race result may replace ``res`` (True for chain edges; for
+    closures only when the ICP didn't lock)."""
+    def feats(p, n):
+        return fpfh_features(p, n)
+
+    f_src = jax.vmap(feats)(src, src_n)
+    f_tgt = jax.vmap(feats)(tgt_p, tgt_n)
+
+    def one_ransac(sp, sf, tp, tf):
+        R0, t0, _ = ransac_align(
+            sp, sf, tp, tf,
+            n_iters=cfg.ransac_iters, inlier_dist=cfg.ransac_inlier_dist)
+        return R0, t0
+
+    R0, t0 = jax.vmap(one_ransac)(src, f_src, tgt_p, f_tgt)
+    res_f = _batched_fine(src, tgt_p, tgt_n, cfg, R0=R0, t0=t0,
+                          grids=grids, cam=cam, tgt_idx=tgt_idx)
+    better = (res_f.inlier_frac > res.inlier_frac) | (
+        (jnp.abs(res_f.inlier_frac - res.inlier_frac) < 0.05)
+        & (res_f.rms < res.rms))
+    take = better & race_mask
+    from slr.registration.icp import ICPResult
+
+    return ICPResult(
+        R=jnp.where(take[:, None, None], res_f.R, res.R),
+        t=jnp.where(take[:, None], res_f.t, res.t),
+        rms=jnp.where(take, res_f.rms, res.rms),
+        inlier_frac=jnp.where(take, res_f.inlier_frac, res.inlier_frac),
+    )
+
+
+def register_scans_batched(
+    clouds: List[ScanCloud],
+    cfg: RegistrationConfig = RegistrationConfig(),
+    use_features: bool = True,
+    cam=None,
+    loop_closures: bool = True,
+    mesh=None,
+) -> RegisteredScans:
+    """register_scans with the pairwise alignments BATCHED (VERDICT r2
+    next #7): chain edges are independent given identity inits, so ONE
+    vmapped dispatch aligns them all (one more for the feature race, one
+    for loop closures from the chain init) and the host syncs once per
+    round instead of once per edge — S=20+ scans register without S
+    sequential dispatch round trips. When ``mesh`` has a map_block axis
+    the edge batch is sharded over it (the "map blocks across hosts"
+    contract [B:5]); edges are padded to the block count.
+    """
+    S = len(clouds)
+    if S < 2:
+        return RegisteredScans(
+            R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (S, 3, 3)),
+            t=jnp.zeros((S, 3), jnp.float32),
+            icp_rms=jnp.zeros((0,)), pg_rms=jnp.float32(0.0))
+    samples = [
+        _subsample(c, cfg.icp_sample_points, seed=i)
+        for i, c in enumerate(clouds)
+    ]
+    pts = jnp.stack([s[0] for s in samples])       # (S,N,3)
+    nrm = jnp.stack([s[1] for s in samples])
+    grids = None
+    if cam is not None:
+        from slr.registration.normals import grid_normals as _gn
+
+        grids = (
+            jnp.stack([c.points for c in clouds]),
+            jnp.stack([c.mask for c in clouds]),
+            jnp.stack([_gn(c.points, c.mask) for c in clouds]),
+        )
+
+    n_blocks = mesh.shape.get("map_block", 1) if mesh is not None else 1
+
+    def run_edges(src_i, tgt_i, R0=None, t0=None, race_mask=None):
+        """One batched round over edges (src_i -> tgt_i), optionally
+        padded + sharded over map_block."""
+        E = len(src_i)
+        pad = (-E) % n_blocks
+        src_idx = jnp.asarray(list(src_i) + [src_i[0]] * pad, jnp.int32)
+        tgt_idx = jnp.asarray(list(tgt_i) + [tgt_i[0]] * pad, jnp.int32)
+        src = pts[src_idx]
+        tgt_p, tgt_n = pts[tgt_idx], nrm[tgt_idx]
+        if R0 is not None:
+            R0 = jnp.concatenate([R0, R0[:1].repeat(pad, 0)]) if pad else R0
+            t0 = jnp.concatenate([t0, t0[:1].repeat(pad, 0)]) if pad else t0
+        if mesh is not None and n_blocks > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("map_block"))
+            src = jax.device_put(src, sh)
+        res = _batched_fine(src, tgt_p, tgt_n, cfg, R0=R0, t0=t0,
+                            grids=grids, cam=cam, tgt_idx=tgt_idx)
+        if use_features:
+            rm = (jnp.ones(E + pad, bool) if race_mask is None
+                  else jnp.concatenate(
+                      [race_mask, jnp.zeros(pad, bool)]))
+            res = _batched_feature_race(
+                src, nrm[src_idx], tgt_p, tgt_n, res, cfg, rm,
+                grids=grids, cam=cam, tgt_idx=tgt_idx)
+        return jax.tree.map(lambda x: np.asarray(x)[:E], res)
+
+    # --- round 1: all chain edges in one dispatch ---
+    chain = run_edges(list(range(1, S)), list(range(0, S - 1)))
+    Zr = [jnp.asarray(chain.R[e]) for e in range(S - 1)]
+    Zt = [jnp.asarray(chain.t[e]) for e in range(S - 1)]
+    rms_list = [jnp.asarray(chain.rms[e]) for e in range(S - 1)]
+    edges = [(s - 1, s) for s in range(1, S)]
+
+    R_init = [jnp.eye(3)]
+    t_init = [jnp.zeros(3)]
+    for s in range(1, S):
+        R_init.append(R_init[-1] @ Zr[s - 1])
+        t_init.append(R_init[-2] @ Zt[s - 1] + t_init[-1])
+
+    # --- round 2: loop closures from the chain-predicted inits ---
+    if loop_closures and S >= 3:
+        closure_pairs = [(0, S - 1)]
+        closure_pairs += [(i, i + 2) for i in range(0, S - 2, 2)]
+        closure_pairs = [p for p in closure_pairs if p not in edges]
+        if closure_pairs:
+            src_i = [j for (_, j) in closure_pairs]
+            tgt_i = [i for (i, _) in closure_pairs]
+            R0 = jnp.stack([R_init[i].T @ R_init[j]
+                            for (i, j) in closure_pairs])
+            t0 = jnp.stack([R_init[i].T @ (t_init[j] - t_init[i])
+                            for (i, j) in closure_pairs])
+            # race only where the chain-init ICP fails to lock: emulate
+            # sequentially-identical behavior with a two-pass select
+            pre = run_edges(src_i, tgt_i, R0=R0, t0=t0,
+                            race_mask=jnp.zeros(len(src_i), bool))
+            res_c = run_edges(
+                src_i, tgt_i, R0=R0, t0=t0,
+                race_mask=jnp.asarray(pre.inlier_frac) < 0.5,
+            ) if use_features else pre
+            for e, (i, j) in enumerate(closure_pairs):
+                if float(res_c.inlier_frac[e]) < 0.3:
+                    continue
+                edges.append((i, j))
+                Zr.append(jnp.asarray(res_c.R[e]))
+                Zt.append(jnp.asarray(res_c.t[e]))
 
     ei = jnp.asarray([e[0] for e in edges], jnp.int32)
     ej = jnp.asarray([e[1] for e in edges], jnp.int32)

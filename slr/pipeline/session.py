@@ -106,7 +106,14 @@ class Session:
 
     # --- reconstruction ---
     def reconstruct(self, idx: int, fused: bool = True,
-                    spatial_iters: int = 0) -> ScanCloud:
+                    spatial_iters: int = 0,
+                    accumulate: bool = False) -> ScanCloud:
+        """Decode + triangulate scan ``idx`` into an organized cloud.
+
+        ``accumulate`` additionally bins the cloud onto the projector
+        column grid (component 13, the reference's PointCloudImage-style
+        accumulation) and persists the accumulated grid alongside the
+        cloud stage file."""
         assert self.cam is not None, "calibrate or set_calibration first"
         frames = self.load_scan(idx)
         p = self.config.pattern
@@ -139,6 +146,12 @@ class Session:
                 self.config.reconstruct,
             )
         rc = self.config.reconstruct
+        if rc.checked:
+            # sanitizer gate on the PRODUCTION cloud (fused or sharded
+            # path alike): fail loudly on NaN points / near-empty masks
+            from slr.pipeline.checks import validate_cloud
+
+            validate_cloud(cloud, rc.min_valid_fraction).throw()
         if rc.sor_k > 0:
             from slr.registration import statistical_outlier_removal
 
@@ -148,12 +161,20 @@ class Session:
                 rc.sor_voxel, k=rc.sor_k, std_ratio=rc.sor_std_ratio,
             ).reshape(H, W)
             cloud = cloud._replace(mask=cloud.mask & keep)
-        save_stage(
-            self.root / "clouds" / f"scan_{idx:03d}.npz",
+        stage = dict(
             points=np.asarray(cloud.points), mask=np.asarray(cloud.mask),
             colors=np.asarray(cloud.colors), quality=np.asarray(cloud.quality),
             x_p=np.asarray(cloud.x_p),
         )
+        if accumulate:
+            from slr.pipeline.reconstruct import accumulate_by_projector
+
+            acc_pts, acc_mask, acc_col = accumulate_by_projector(
+                cloud, self.config.pattern.proj_width)
+            stage.update(acc_points=np.asarray(acc_pts),
+                         acc_mask=np.asarray(acc_mask),
+                         acc_colors=np.asarray(acc_col))
+        save_stage(self.root / "clouds" / f"scan_{idx:03d}.npz", **stage)
         return cloud
 
     def reconstruct_all(self, fused: bool = True) -> int:
@@ -210,9 +231,23 @@ class Session:
                  refine_ba: bool = True,
                  loop_closures: bool = True) -> RegisteredScans:
         clouds = [self.load_cloud(i) for i in range(self.cloud_count())]
-        reg = register_scans(clouds, self.config.registration,
-                             use_features=use_features, cam=self.cam,
-                             loop_closures=loop_closures)
+        mesh = self.mesh
+        if mesh is not None and mesh.shape["map_block"] <= 1:
+            mesh = None
+        if len(clouds) >= 4 or mesh is not None:
+            # batched pairwise alignment: one vmapped dispatch per round
+            # (sharded over map_block when configured) instead of one
+            # ICP dispatch + host sync per edge
+            from slr.pipeline.registerfuse import register_scans_batched
+
+            reg = register_scans_batched(
+                clouds, self.config.registration,
+                use_features=use_features, cam=self.cam,
+                loop_closures=loop_closures, mesh=mesh)
+        else:
+            reg = register_scans(clouds, self.config.registration,
+                                 use_features=use_features, cam=self.cam,
+                                 loop_closures=loop_closures)
         if refine_ba and len(clouds) > 2:
             from slr.pipeline.registerfuse import ba_refine
 

@@ -147,7 +147,10 @@ def test_pose_graph_closes_loop():
         R0.append(R); t0.append(t)
     res = pose_graph_optimize(jnp.stack(R0), jnp.stack(t0), ei, ej, Zr, Zt,
                               iters=10)
-    assert float(res.rms) < 0.05
+    # rms is in mm-equivalent rows (rotation rows scaled by rot_scale=300
+    # mm/rad): injected noise is 0.05 mm trans + 0.002 rad * 300 = 0.6 mm
+    # rot per edge, so the converged residual floor sits near ~0.5 mm
+    assert float(res.rms) < 1.0
     # poses near truth (gauge: pose0 anchored at identity = truth)
     err_t = jnp.linalg.norm(res.t - t_true, axis=1)
     assert float(jnp.max(err_t)) < 1.0, np.asarray(err_t)
