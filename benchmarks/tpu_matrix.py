@@ -40,7 +40,7 @@ from slr.geom.se3 import so3_exp, se3_compose, se3_inverse
 from slr.synth import bumps_depth
 from slr.synth.render import default_rig, render_scan, quantize_frames
 
-OUT = os.path.join(os.path.dirname(__file__), "tpu_matrix_r2.jsonl")
+OUT = os.path.join(os.path.dirname(__file__), "tpu_matrix_r3.jsonl")
 CAM_W, CAM_H = 1280, 1024
 
 

@@ -18,6 +18,7 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -229,6 +230,46 @@ def cmd_demo(args):
     cmd_fuse(ns(session=args.out))
 
 
+def cmd_stereo_demo(args):
+    """Two-camera rig demo (SURVEY.md section 1 "one or two cameras"):
+    render both views of the spheres scene, reconstruct by projector-space
+    rendezvous (no projector calibration in the geometry), report RMS vs
+    ground truth, write the PLY."""
+    import jax
+
+    from slr.config import PatternConfig, ScanConfig
+    from slr.io import write_ply
+    from slr.pipeline import Session
+    from slr.synth import render_scan, spheres_scene, two_camera_rig
+
+    H, W = args.cam_h, args.cam_w
+    cfg = PatternConfig(proj_width=512, proj_height=384, gray_bits=6,
+                        row_gray_bits=5, phase_steps=3, row_phase_steps=3)
+    cam1, cam2, proj = two_camera_rig(cam_w=W, cam_h=H, proj_w=512,
+                                      proj_h=384)
+    sess = Session(args.out, ScanConfig(pattern=cfg, cam_width=W,
+                                        cam_height=H))
+    sess.set_calibration(cam1, proj, cam2=cam2)
+    scans = []
+    for i, cam in enumerate((cam1, cam2)):
+        depth = spheres_scene(cam, H, W)
+        scans.append(render_scan(cam, proj, depth, cfg, noise_std=0.003,
+                                 key=jax.random.PRNGKey(i),
+                                 cast_shadows=True))
+    sess.add_scan(scans[0].frames, frames2=scans[1].frames)
+    cloud = sess.reconstruct(0)
+    valid = np.asarray(cloud.mask) & np.asarray(scans[0].mask_true)
+    err = np.linalg.norm(
+        np.asarray(cloud.points) - np.asarray(scans[0].points_true),
+        axis=-1)[valid]
+    rms = float(np.sqrt(np.mean(err ** 2))) if err.size else float("nan")
+    out = Path(args.out) / "stereo.ply"
+    write_ply(out, cloud.points.reshape(-1, 3),
+              mask=cloud.mask.reshape(-1))
+    print(f"two-camera cloud: {int(valid.sum())} px, RMS {rms:.4f} mm "
+          f"-> {out}")
+
+
 def cmd_import_scan(args):
     """Ingest a reference-style scan folder (one image per pattern) into
     the session — the real-data entry point replacing camera capture."""
@@ -373,6 +414,14 @@ def main(argv=None):
                    help="shard scans/landmarks over this many devices "
                         "(config-5 distributed Schur BA)")
     p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("stereo-demo",
+                       help="two-camera rig end-to-end (no projector "
+                            "calibration in the triangulation)")
+    p.add_argument("--out", default="/tmp/slr_stereo")
+    p.add_argument("--cam-w", type=int, default=512, dest="cam_w")
+    p.add_argument("--cam-h", type=int, default=384, dest="cam_h")
+    p.set_defaults(fn=cmd_stereo_demo)
 
     p = sub.add_parser("import-scan", help="ingest a scan image folder")
     p.add_argument("--session", required=True)

@@ -29,16 +29,24 @@ def _cam_from(d: dict) -> Camera:
     )
 
 
-def save_calibration(path, cam: Camera, proj: Camera, meta: dict | None = None):
+def save_calibration(path, cam: Camera, proj: Camera, meta: dict | None = None,
+                     cam2: Camera | None = None):
+    """``cam2`` persists a second camera for the two-camera rig layout
+    (SURVEY.md section 1 "one or two cameras")."""
+    d = {"camera": _cam_dict(cam), "projector": _cam_dict(proj),
+         "meta": meta or {}}
+    if cam2 is not None:
+        d["camera2"] = _cam_dict(cam2)
     with open(path, "w") as f:
-        json.dump(
-            {"camera": _cam_dict(cam), "projector": _cam_dict(proj),
-             "meta": meta or {}},
-            f, indent=2,
-        )
+        json.dump(d, f, indent=2)
 
 
-def load_calibration(path):
+def load_calibration(path, with_cam2: bool = False):
     with open(path) as f:
         d = json.load(f)
-    return _cam_from(d["camera"]), _cam_from(d["projector"]), d.get("meta", {})
+    out = (_cam_from(d["camera"]), _cam_from(d["projector"]),
+           d.get("meta", {}))
+    if with_cam2:
+        cam2 = _cam_from(d["camera2"]) if "camera2" in d else None
+        return out + (cam2,)
+    return out

@@ -21,6 +21,7 @@ from slr.pipeline.reconstruct import (
 from slr.pipeline.registerfuse import (
     ba_refine, fuse_scans, register_scans, register_scans_batched,
 )
+from slr.pipeline.twocam import reconstruct_two_camera, match_via_projector
 from slr.pipeline.session import Session
 from slr.pipeline.meshing import grid_faces, write_mesh_obj
 from slr.pipeline.checks import checked_reconstruct, nan_guard

@@ -49,11 +49,13 @@ class Session:
             self.config = ScanConfig()
             save_config(self.config, cfg_path)
         self.cam: Optional[Camera] = None
+        self.cam2: Optional[Camera] = None  # two-camera rig (optional)
         self.proj: Optional[Camera] = None
         self.calib_meta: dict = {}
         calib = self.root / "calibration.json"
         if calib.exists():
-            self.cam, self.proj, self.calib_meta = load_calibration(calib)
+            self.cam, self.proj, self.calib_meta, self.cam2 = (
+                load_calibration(calib, with_cam2=True))
         self._mesh = None
 
     @property
@@ -86,23 +88,33 @@ class Session:
         return self._mesh
 
     # --- calibration ---
-    def set_calibration(self, cam: Camera, proj: Camera, meta=None):
-        self.cam, self.proj = cam, proj
+    def set_calibration(self, cam: Camera, proj: Camera, meta=None,
+                        cam2: Optional[Camera] = None):
+        self.cam, self.proj, self.cam2 = cam, proj, cam2
         self.calib_meta = meta or {}
-        save_calibration(self.root / "calibration.json", cam, proj, meta)
+        save_calibration(self.root / "calibration.json", cam, proj, meta,
+                         cam2=cam2)
 
     # --- scans ---
-    def add_scan(self, frames) -> int:
+    def add_scan(self, frames, frames2=None) -> int:
+        """``frames2`` stores the second camera's stack of the same shot
+        (two-camera rig); reconstruct() then routes through the
+        projector-space rendezvous path automatically."""
         idx = len(self.scan_paths())
-        save_stage(self.root / "scans" / f"scan_{idx:03d}.npz",
-                   frames=np.asarray(frames))
+        stage = dict(frames=np.asarray(frames))
+        if frames2 is not None:
+            stage["frames2"] = np.asarray(frames2)
+        save_stage(self.root / "scans" / f"scan_{idx:03d}.npz", **stage)
         return idx
 
     def scan_paths(self):
         return sorted((self.root / "scans").glob("scan_*.npz"))
 
-    def load_scan(self, idx: int):
-        return jnp.asarray(load_stage(self.scan_paths()[idx])["frames"])
+    def load_scan(self, idx: int, second: bool = False):
+        d = load_stage(self.scan_paths()[idx])
+        if second:
+            return (jnp.asarray(d["frames2"]) if "frames2" in d else None)
+        return jnp.asarray(d["frames"])
 
     # --- reconstruction ---
     def reconstruct(self, idx: int, fused: bool = True,
@@ -119,7 +131,16 @@ class Session:
         p = self.config.pattern
         mesh = self.mesh
         H = frames.shape[1]
-        if (mesh is not None and mesh.shape["pixel_tile"] > 1
+        frames2 = self.load_scan(idx, second=True)
+        if frames2 is not None and self.cam2 is not None:
+            # two-camera rig: projector-space rendezvous triangulation
+            # (projector calibration does not enter the geometry)
+            from slr.pipeline.twocam import reconstruct_two_camera
+
+            cloud = reconstruct_two_camera(
+                frames, frames2, self.cam, self.cam2, p,
+                self.config.decode, self.config.reconstruct)
+        elif (mesh is not None and mesh.shape["pixel_tile"] > 1
                 and H % mesh.shape["pixel_tile"] == 0):
             # config-5 pixel-tile route: rows sharded over the mesh, the
             # production fused kernel per shard (slr.dist.sharded)
@@ -187,7 +208,8 @@ class Session:
         if n == 0:
             return 0
         mesh = self.mesh
-        if mesh is not None and mesh.shape["pixel_tile"] > 1:
+        if self.cam2 is not None or (
+                mesh is not None and mesh.shape["pixel_tile"] > 1):
             for i in range(n):
                 self.reconstruct(i, fused=fused)
             return n

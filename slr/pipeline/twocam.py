@@ -1,0 +1,280 @@
+"""Two-camera structured-light reconstruction (SURVEY.md section 1: the
+reference class supports "one or two cameras"; VERDICT r2 missing #5).
+
+The classic two-camera layout: both cameras watch the scene, the projector
+only supplies per-pixel *correspondence codes* — its calibration never
+enters the triangulation, so projector distortion / drift cancels out
+entirely. Requires a pattern config that codes BOTH projector axes
+(``row_gray_bits > 0``) so each camera pixel decodes to a full projector
+coordinate (x_p, y_p).
+
+TPU-first correspondence: instead of the reference-class per-pixel search
+along epipolar lines, we rendezvous in projector space with one scatter and
+one gather — both dense, fixed-shape, VPU-friendly ops:
+
+1. **splat** — every valid cam-2 pixel bilinearly splats moving-least-
+   squares MOMENTS of its own image coordinates (u2, v2), weighted by
+   decode quality, into a projector-resolution accumulation grid at its
+   decoded (x_p, y_p).
+2. **gather** — every valid cam-1 pixel reads the 4 neighbor cells at its
+   own decoded (x_p, y_p), translates the moments to its query point, and
+   solves a ridge-regularized 3x3 weighted linear fit u2(x_p, y_p),
+   v2(x_p, y_p). A plain weighted *mean* is ~1 cam-px biased wherever a
+   projector cell is only partially covered (occlusion boundaries, image
+   borders): the mean sits at the covered portion's centroid, not at the
+   query. The linear term extrapolates through that, and its residual is
+   a per-point mixed-surface detector.
+3. **triangulate** — midpoint of the cam-1 and cam-2 rays; the common-
+   perpendicular gap and the fit residual gate the mask.
+
+The result is an organized ``ScanCloud`` on the cam-1 grid, so every
+downstream stage (registration, fusion, meshing, IO) works unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slr.config import DecodeConfig, PatternConfig, ReconstructConfig
+from slr.codec import decode_stack
+from slr.geom.camera import Camera, pixel_to_ray
+from slr.geom.triangulate import triangulate_midpoint, _solve3x3
+from slr.pipeline.reconstruct import ScanCloud, _white_color
+
+# moment-vector layout per projector cell (local coords d = X - cell):
+# [ w, w dx, w dy, w dx2, w dxdy, w dy2,
+#   w u, w u dx, w u dy, w v, w v dx, w v dy, w (u2+v2) ]
+_NM = 13
+
+
+def _splat_moments(x_p, y_p, w, u, v, proj_w: int, proj_h: int):
+    """Bilinearly scatter the MLS moment vector into a (proj_h, proj_w,
+    13) grid. One flattened scatter-add of a (4*H*W, 13) payload — XLA
+    lowers it to a single sorted segment-sum on TPU."""
+    x0 = jnp.floor(x_p)
+    y0 = jnp.floor(y_p)
+    fx = x_p - x0
+    fy = y_p - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    idxs, vals = [], []
+    for ddx, ddy, ww in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
+                         (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
+        xi = jnp.clip(x0 + ddx, 0, proj_w - 1)
+        yi = jnp.clip(y0 + ddy, 0, proj_h - 1)
+        wq = w * ww
+        dx = x_p - xi.astype(jnp.float32)
+        dy = y_p - yi.astype(jnp.float32)
+        idxs.append((yi * proj_w + xi).reshape(-1))
+        vals.append(jnp.stack(
+            [wq, wq * dx, wq * dy, wq * dx * dx, wq * dx * dy, wq * dy * dy,
+             wq * u, wq * u * dx, wq * u * dy,
+             wq * v, wq * v * dx, wq * v * dy,
+             wq * (u * u + v * v)], axis=-1).reshape(-1, _NM))
+    flat_idx = jnp.concatenate(idxs)
+    flat_val = jnp.concatenate(vals)
+    acc = jnp.zeros((proj_h * proj_w, _NM), jnp.float32)
+    acc = acc.at[flat_idx].add(flat_val)
+    return acc.reshape(proj_h, proj_w, _NM)
+
+
+def _gather_moments(moms, qx, qy):
+    """Combine the 4 neighbor cells' moments, re-centred on the query
+    point (qx, qy). Moment translation is linear, so the bilinear blend
+    of translated moments is itself a valid moment vector about the
+    query."""
+    Hp, Wp = moms.shape[:2]
+    qx = jnp.clip(qx, 0.0, Wp - 1.0)
+    qy = jnp.clip(qy, 0.0, Hp - 1.0)
+    x0 = jnp.floor(qx).astype(jnp.int32)
+    y0 = jnp.floor(qy).astype(jnp.int32)
+    fx = qx - x0
+    fy = qy - y0
+
+    out = 0.0
+    for ddx, ddy, ww in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
+                         (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
+        xi = jnp.minimum(x0 + ddx, Wp - 1)
+        yi = jnp.minimum(y0 + ddy, Hp - 1)
+        m = moms[yi, xi]                       # (..., 13)
+        a = qx - xi.astype(jnp.float32)        # query in cell-local coords
+        b = qy - yi.astype(jnp.float32)
+        S0, Sx, Sy = m[..., 0], m[..., 1], m[..., 2]
+        Sxx, Sxy, Syy = m[..., 3], m[..., 4], m[..., 5]
+        Su, Sux, Suy = m[..., 6], m[..., 7], m[..., 8]
+        Sv, Svx, Svy = m[..., 9], m[..., 10], m[..., 11]
+        Sm2 = m[..., 12]
+        t = jnp.stack(
+            [S0,
+             Sx - a * S0,
+             Sy - b * S0,
+             Sxx - 2 * a * Sx + a * a * S0,
+             Sxy - a * Sy - b * Sx + a * b * S0,
+             Syy - 2 * b * Sy + b * b * S0,
+             Su, Sux - a * Su, Suy - b * Su,
+             Sv, Svx - a * Sv, Svy - b * Sv,
+             Sm2], axis=-1)
+        out = out + ww[..., None] * t
+    return out
+
+
+def match_via_projector(
+    x_p1, y_p1, dec2_x, dec2_y, w2, proj_w: int, proj_h: int,
+    ridge: float = 3e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Projector-space rendezvous: cam-2 pixel coords seen from cam-1.
+
+    Returns (u2, v2, weight, resid) on the cam-1 grid: ``weight`` ~ how
+    much quality-weighted cam-2 evidence landed on cam-1's projector
+    coordinate (0 where cam 2 never saw that projector ray); ``resid``
+    is the RMS residual (cam-2 px) of the local linear fit — large
+    exactly where the splat straddles a depth discontinuity and mixes
+    two surfaces, the failure mode the ray-gap metric cannot see (the
+    mixed mean ray can still pass near the cam-1 ray).
+    """
+    H2, W2 = dec2_x.shape
+    v2g = jax.lax.broadcasted_iota(jnp.float32, (H2, W2), 0)
+    u2g = jax.lax.broadcasted_iota(jnp.float32, (H2, W2), 1)
+    moms = _splat_moments(dec2_x, dec2_y, w2, u2g, v2g, proj_w, proj_h)
+    g = _gather_moments(moms, x_p1, y_p1)
+
+    S0 = g[..., 0]
+    # ridge on the SLOPE diagonal only: shrinking the slopes degrades
+    # gracefully to the weighted mean when a cell has too few samples;
+    # ridge on the constant term would bias the value itself
+    lam = ridge * S0 + 1e-12
+    A = jnp.stack([
+        jnp.stack([S0 + 1e-12, g[..., 1], g[..., 2]], -1),
+        jnp.stack([g[..., 1], g[..., 3] + lam, g[..., 4]], -1),
+        jnp.stack([g[..., 2], g[..., 4], g[..., 5] + lam], -1),
+    ], -2)
+    bu = g[..., 6:9]
+    bv = g[..., 9:12]
+    cu = _solve3x3(A, bu)
+    cv = _solve3x3(A, bv)
+    u2 = cu[..., 0]
+    v2 = cv[..., 0]
+    # fit residual: S_m2 - sum_k cu_k * bu_k - sum_k cv_k * bv_k, i.e. the
+    # weighted RSS of both linear fits combined
+    rss = (g[..., 12] - jnp.sum(cu * bu, -1) - jnp.sum(cv * bv, -1))
+    safe = jnp.maximum(S0, 1e-12)
+    resid = jnp.sqrt(jnp.maximum(rss, 0.0) / safe)
+    return u2, v2, S0, resid
+
+
+def _code_edge_mask(x_p, y_p, mask, tol: float):
+    """False at code-discontinuity pixels: a silhouette-edge pixel blends
+    foreground and background intensities, so its decoded code is an
+    arbitrary value between two surfaces' codes — and can counterfeit the
+    code of a point the camera cannot actually see. Such pixels show a
+    code jump of several projector px to at least one 4-neighbor (a smooth
+    surface moves ~1 proj px per cam px). Neighbors outside ``mask``
+    don't vote."""
+    jump = jnp.zeros_like(x_p)
+    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        nx = jnp.roll(x_p, sh, axis=ax)
+        ny = jnp.roll(y_p, sh, axis=ax)
+        nm = jnp.roll(mask, sh, axis=ax)
+        d = jnp.abs(nx - x_p) + jnp.abs(ny - y_p)
+        jump = jnp.maximum(jump, jnp.where(nm, d, 0.0))
+    return jump < tol
+
+
+def _bilinear(img, x, y):
+    """Clamped bilinear sample of an (H, W) map at float coords."""
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = x - x0
+    fy = y - y0
+    return (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+            + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dec", "rec", "max_ray_gap",
+                                   "min_weight", "max_resid", "code_tol",
+                                   "edge_tol"))
+def reconstruct_two_camera(
+    frames1,
+    frames2,
+    cam1: Camera,
+    cam2: Camera,
+    cfg: PatternConfig,
+    dec: DecodeConfig = DecodeConfig(),
+    rec: ReconstructConfig = ReconstructConfig(),
+    max_ray_gap: float = 1.0,
+    min_weight: float = 0.05,
+    max_resid: float = 1.5,
+    code_tol: float = 0.5,
+    edge_tol: float = 3.0,
+) -> ScanCloud:
+    """Decode both stacks, rendezvous in projector space, triangulate
+    cam-1 x cam-2 rays. Projector calibration is NOT an input: only the two
+    camera calibrations shape the geometry.
+
+    ``max_ray_gap`` (scene units) gates on the common-perpendicular
+    distance of the matched rays; ``min_weight`` on the splat evidence;
+    ``max_resid`` (cam-2 px) on the local linear-fit residual, which
+    rejects depth-discontinuity pixels whose projector cell mixes two
+    surfaces; ``code_tol`` (projector px) is the left-right consistency
+    gate — cam 2's own decoded code, sampled at the matched (u2, v2),
+    must agree with the query code. This is what rejects points OCCLUDED
+    in cam 2: their starved gather neighborhood extrapolates background
+    geometry with a deceptively perfect (zero-residual) fit, but the
+    background's code never matches the query's.
+    """
+    if not cfg.row_gray_bits:
+        raise ValueError(
+            "two-camera mode needs both projector axes coded: set "
+            "row_gray_bits (+ optionally row_phase_steps) in PatternConfig")
+
+    r1 = decode_stack(frames1, cfg, dec)
+    r2 = decode_stack(frames2, cfg, dec)
+    if r1.y_p is None:
+        raise ValueError("decode produced no projector-row coordinate")
+
+    H, W = r1.x_p.shape
+    v1 = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    u1 = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    # both sides drop code-discontinuity (silhouette-blend) pixels: on the
+    # splat side they counterfeit occluded codes, on the query side they
+    # ask for codes that exist on no surface (``edge_tol`` proj px)
+    edge1 = _code_edge_mask(r1.x_p, r1.y_p, r1.mask, edge_tol)
+    edge2 = _code_edge_mask(r2.x_p, r2.y_p, r2.mask, edge_tol)
+    w2 = jnp.where(r2.mask & edge2, jnp.maximum(r2.quality, 1e-6), 0.0)
+    u2, v2, gw, resid = match_via_projector(
+        r1.x_p, r1.y_p, r2.x_p, r2.y_p, w2,
+        cfg.proj_width, cfg.proj_height)
+
+    o1, d1 = pixel_to_ray(cam1, u1, v1)
+    o2, d2 = pixel_to_ray(cam2, u2, v2)
+    pts, gap = triangulate_midpoint(o1, d1, o2, d2)
+
+    # left-right consistency: cam 2's decode at the matched pixel must
+    # carry the query's projector code (all 4 sample neighbors valid)
+    x_back = _bilinear(jnp.where(r2.mask, r2.x_p, 0.0), u2, v2)
+    y_back = _bilinear(jnp.where(r2.mask, r2.y_p, 0.0), u2, v2)
+    m_back = _bilinear(r2.mask.astype(jnp.float32), u2, v2)
+    consistent = ((m_back > 0.999)
+                  & (jnp.abs(x_back - r1.x_p) < code_tol)
+                  & (jnp.abs(y_back - r1.y_p) < code_tol))
+
+    depth1 = jnp.einsum("j,...j->...", cam1.R[2], pts) + cam1.t[2]
+    mask = (r1.mask & edge1 & consistent
+            & (gw > min_weight) & (gap < max_ray_gap)
+            & (resid < max_resid)
+            & (depth1 > rec.min_depth) & (depth1 < rec.max_depth))
+    pts = jnp.where(mask[..., None], pts, 0.0)
+    quality = jnp.where(mask, jnp.minimum(r1.quality, gw), 0.0)
+    return ScanCloud(points=pts, mask=mask, colors=_white_color(frames1),
+                     quality=quality, x_p=r1.x_p)

@@ -16,5 +16,7 @@ from slr.synth.scene import (
     bumps_depth,
     checker_albedo,
 )
-from slr.synth.render import render_scan, RenderedScan, default_rig, move_rig
+from slr.synth.render import (
+    render_scan, RenderedScan, default_rig, two_camera_rig, move_rig,
+)
 from slr.synth.board import render_board_view, board_poses, BoardView

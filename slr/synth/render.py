@@ -77,6 +77,38 @@ def default_rig(cam_w: int = 1280, cam_h: int = 1024, proj_w: int = 1024,
     return cam, proj
 
 
+def two_camera_rig(cam_w: int = 1280, cam_h: int = 1024, proj_w: int = 1024,
+                   proj_h: int = 768, baseline: float = 280.0,
+                   toe_in_deg: float = 14.0):
+    """Two-camera + central-projector rig (the reference class's two-camera
+    layout, SURVEY.md section 1): cameras at x = -+ baseline/2 toed in
+    toward a working volume around z ~ 500, projector mid-way between them.
+
+    Returns (cam1, cam2, proj). The projector's calibration is only used to
+    *render* — two-camera reconstruction never reads it.
+    """
+    f_c = 0.9 * cam_w
+
+    def toed(cx_world: float, deg: float):
+        th = jnp.deg2rad(deg)
+        R = jnp.array([[jnp.cos(th), 0.0, jnp.sin(th)],
+                       [0.0, 1.0, 0.0],
+                       [-jnp.sin(th), 0.0, jnp.cos(th)]], jnp.float32)
+        C = jnp.array([cx_world, 0.0, 0.0], jnp.float32)
+        return R, -R @ C
+
+    R1, t1 = toed(-baseline / 2, -toe_in_deg)
+    cam1 = make_camera(fx=f_c, fy=f_c, cx=cam_w / 2 - 0.5,
+                       cy=cam_h / 2 - 0.5, R=R1, t=t1)
+    R2, t2 = toed(+baseline / 2, +toe_in_deg)
+    cam2 = make_camera(fx=f_c, fy=f_c, cx=cam_w / 2 - 0.5,
+                       cy=cam_h / 2 - 0.5, R=R2, t=t2)
+    f_p = 1.2 * proj_w
+    proj = make_camera(fx=f_p, fy=f_p, cx=proj_w / 2 - 0.5,
+                       cy=proj_h / 2 - 0.5)
+    return cam1, cam2, proj
+
+
 def move_rig(cam: Camera, proj: Camera, R_m, t_m):
     """Move the whole scanner rig by the pose (R_m, t_m) (rig -> world).
 

@@ -36,3 +36,15 @@ def test_cli_scan_reconstruct_accumulate(tmp_path):
     pts = np.asarray(d["acc_points"])[np.asarray(d["acc_mask"])]
     assert np.isfinite(pts).all()
     assert pts[:, 2].min() > 0.0
+
+
+def test_cli_stereo_demo(tmp_path):
+    """slr stereo-demo: the two-camera rig is reachable from the CLI and
+    produces a sub-mm PLY (SURVEY.md section 1 "one or two cameras")."""
+    root = str(tmp_path / "stereo")
+    main(["stereo-demo", "--out", root, "--cam-w", "320", "--cam-h", "256"])
+    assert (tmp_path / "stereo" / "stereo.ply").exists()
+    # the session carries the second camera + both stacks
+    sess = Session(root)
+    assert sess.cam2 is not None
+    assert sess.load_scan(0, second=True) is not None

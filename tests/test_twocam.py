@@ -1,0 +1,124 @@
+"""Two-camera reconstruction (SURVEY.md section 1 "one or two cameras").
+
+The load-bearing property: two-camera triangulation never reads the
+projector's calibration, so projector optics errors (distortion that the
+cam-projector model does NOT know about) leave it untouched while they
+corrupt the cam-projector path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slr.config import DecodeConfig, PatternConfig, ReconstructConfig
+from slr.pipeline import reconstruct_scan, reconstruct_two_camera
+from slr.synth import render_scan, spheres_scene, two_camera_rig
+
+CAM_H, CAM_W = 384, 512
+
+
+def _cfg(**kw):
+    base = dict(proj_width=512, proj_height=384, gray_bits=6,
+                row_gray_bits=5, phase_steps=3, row_phase_steps=3)
+    base.update(kw)
+    return PatternConfig(**base)
+
+
+def _render_pair(proj_dist=None, noise=0.003):
+    cfg = _cfg()
+    cam1, cam2, proj = two_camera_rig(cam_w=CAM_W, cam_h=CAM_H,
+                                      proj_w=512, proj_h=384)
+    if proj_dist is not None:
+        proj = proj._replace(dist=jnp.asarray(proj_dist, jnp.float32))
+    scans = []
+    for i, cam in enumerate((cam1, cam2)):
+        depth = spheres_scene(cam, CAM_H, CAM_W)
+        # cast_shadows: without it a projector ray illuminates BOTH the
+        # sphere and the plane behind it, so the same code legitimately
+        # appears at two 3D points and correspondence is ambiguous
+        scans.append(render_scan(cam, proj, depth, cfg, noise_std=noise,
+                                 key=jax.random.PRNGKey(i),
+                                 cast_shadows=True))
+    return cfg, cam1, cam2, proj, scans
+
+
+def _rms(points, mask, scan):
+    valid = np.asarray(mask) & np.asarray(scan.mask_true)
+    err = np.linalg.norm(
+        np.asarray(points) - np.asarray(scan.points_true), axis=-1)[valid]
+    return float(np.sqrt(np.mean(err ** 2))), int(valid.sum())
+
+
+def test_two_camera_submm():
+    cfg, cam1, cam2, proj, (s1, s2) = _render_pair()
+    cloud = reconstruct_two_camera(s1.frames, s2.frames, cam1, cam2, cfg)
+    rms, n = _rms(cloud.points, cloud.mask, s1)
+    # both cameras must overlap on a solid share of the scene
+    assert n > 0.25 * CAM_H * CAM_W, n
+    assert rms < 0.5, rms
+
+
+def test_two_camera_ignores_projector_optics():
+    """Heavy projector distortion unknown to the calibration: the
+    cam-projector path (which believes the projector is ideal) degrades,
+    the two-camera path does not move."""
+    dist = [-0.25, 0.1, 0.004, -0.004, 0.0]
+    cfg, cam1, cam2, proj_true, (s1, s2) = _render_pair(proj_dist=dist)
+
+    cloud2 = reconstruct_two_camera(s1.frames, s2.frames, cam1, cam2, cfg)
+    rms2, n2 = _rms(cloud2.points, cloud2.mask, s1)
+    assert rms2 < 0.5, rms2
+
+    # cam-projector path with the IDEAL projector model (distortion unknown)
+    proj_ideal = proj_true._replace(dist=jnp.zeros(5, jnp.float32))
+    cloud1 = reconstruct_scan(s1.frames, cam1, proj_ideal, cfg,
+                              rec=ReconstructConfig(method="midpoint"))
+    rms1, n1 = _rms(cloud1.points, cloud1.mask, s1)
+    assert rms1 > 4 * rms2, (rms1, rms2)
+
+
+def test_two_camera_requires_row_coding():
+    cfg = PatternConfig(proj_width=512, proj_height=384, gray_bits=6,
+                        phase_steps=3)
+    cam1, cam2, _ = two_camera_rig(cam_w=64, cam_h=64)
+    frames = jnp.zeros((cfg.num_frames, 64, 64), jnp.float32)
+    with pytest.raises(ValueError, match="row_gray_bits"):
+        reconstruct_two_camera(frames, frames, cam1, cam2, cfg)
+
+
+def test_two_camera_session_roundtrip(tmp_path):
+    """Product surface: a two-camera session persists cam2 + both stacks
+    and reconstruct() routes through the rendezvous path."""
+    from slr.config import ScanConfig
+    from slr.pipeline import Session
+
+    cfg, cam1, cam2, proj, (s1, s2) = _render_pair()
+    sess = Session(tmp_path / "sess", ScanConfig(pattern=cfg))
+    sess.set_calibration(cam1, proj, cam2=cam2)
+    sess.add_scan(s1.frames, frames2=s2.frames)
+
+    # calibration + scan survive a fresh Session load
+    sess = Session(tmp_path / "sess")
+    assert sess.cam2 is not None
+    cloud = sess.reconstruct(0)
+    rms, n = _rms(cloud.points, cloud.mask, s1)
+    assert n > 0.25 * CAM_H * CAM_W
+    assert rms < 0.5, rms
+    # stage file persisted for downstream register/fuse
+    assert sess.cloud_count() == 1
+
+
+def test_two_camera_masks_single_view_occlusion():
+    """Pixels cam 2 cannot see (no splat evidence at their projector
+    coordinate) must be masked, not hallucinated."""
+    cfg, cam1, cam2, proj, (s1, s2) = _render_pair()
+    # erase the right half of cam 2's view: no evidence lands there
+    frames2 = s2.frames.at[:, :, CAM_W // 2:].set(0.0)
+    cloud = reconstruct_two_camera(s1.frames, frames2, cam1, cam2, cfg)
+    full = reconstruct_two_camera(s1.frames, s2.frames, cam1, cam2, cfg)
+    n_cut = int(np.asarray(cloud.mask).sum())
+    n_full = int(np.asarray(full.mask).sum())
+    assert n_cut < 0.8 * n_full, (n_cut, n_full)
+    rms, _ = _rms(cloud.points, cloud.mask, s1)
+    assert rms < 0.5, rms
