@@ -78,20 +78,40 @@ def main():
             return s
         return run
 
-    def t_of(fn, n_rep=7):
-        jax.block_until_ready(fn(frames))
-        ts = []
+    def measure(K_hi, n_rep=7):
+        """Interleaved T(1)/T(K) trials: per-trial deltas survive a relay
+        mode flip between dispatch groups (the failure that once produced
+        a 0.0 ms row with ok:true — VERDICT r2 weak #1)."""
+        lo, hi = make_loop(1), make_loop(K_hi)
+        jax.block_until_ready(lo(frames))
+        jax.block_until_ready(hi(frames))
+        deltas, t_los = [], []
         for _ in range(n_rep):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(frames))
-            ts.append((time.perf_counter() - t0) * 1e3)
-        ts.sort()
-        return ts[len(ts) // 2]
+            jax.block_until_ready(lo(frames))
+            t1 = time.perf_counter()
+            jax.block_until_ready(hi(frames))
+            t2 = time.perf_counter()
+            deltas.append(((t2 - t1) - (t1 - t0)) * 1e3 / (K_hi - 1))
+            t_los.append((t1 - t0) * 1e3)
+        deltas.sort()
+        t_los.sort()
+        return deltas[len(deltas) // 2], t_los[len(t_los) // 2]
 
-    K_LO, K_HI = 1, 33
-    t_lo = t_of(make_loop(K_LO))
-    t_hi = t_of(make_loop(K_HI))
-    ms = max((t_hi - t_lo) / (K_HI - K_LO), 1e-6)
+    K_HI = 33
+    ms, t_lo = measure(K_HI)
+    timing_ok = True
+    if ms <= 1e-5:
+        ms, t_lo = measure(3 * K_HI - 2)
+    if ms <= 1e-5:
+        # no plausible chained delta: fall back to the dispatch-amortized
+        # upper bound rather than reporting a fake fast number
+        hi = make_loop(K_HI)
+        jax.block_until_ready(hi(frames))
+        t0 = time.perf_counter()
+        jax.block_until_ready(hi(frames))
+        ms = (time.perf_counter() - t0) * 1e3 / K_HI
+        timing_ok = False
 
     n_pts = int(n)  # valid 3D points per scan (accuracy-gated above)
     print(json.dumps({
@@ -102,6 +122,7 @@ def main():
         "points_per_s_chip": round(n_pts / (ms / 1e3)),
         "rms_mm": round(rms, 4),
         "dispatch_ms": round(t_lo, 2),  # relay round trip, not the scanner
+        "timing_ok": timing_ok,
     }))
 
 

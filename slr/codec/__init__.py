@@ -23,6 +23,7 @@ from slr.codec.unwrap import (
     quality_guided_repair,
 )
 from slr.codec.patterns import generate_pattern_stack, decode_stack
+from slr.codec.exposure import decode_multi_exposure
 from slr.codec.multifreq import (
     generate_multifreq_stack,
     decode_multifreq,

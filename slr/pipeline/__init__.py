@@ -14,6 +14,7 @@ reference's GUI-held state (SURVEY.md E1).
 
 from slr.pipeline.reconstruct import (
     reconstruct_scan,
+    reconstruct_scan_hdr,
     reconstruct_dense,
     accumulate_by_projector,
     ScanCloud,
@@ -22,6 +23,7 @@ from slr.pipeline.registerfuse import (
     ba_refine, fuse_scans, register_scans, register_scans_batched,
 )
 from slr.pipeline.twocam import reconstruct_two_camera, match_via_projector
+from slr.pipeline.stream import reconstruct_stream
 from slr.pipeline.session import Session
 from slr.pipeline.meshing import grid_faces, write_mesh_obj
 from slr.pipeline.checks import checked_reconstruct, nan_guard

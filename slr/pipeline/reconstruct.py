@@ -68,6 +68,39 @@ def reconstruct_scan(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "dec", "rec", "saturation"))
+def reconstruct_scan_hdr(
+    stacks,
+    cam: Camera,
+    proj: Camera,
+    cfg: PatternConfig,
+    dec: DecodeConfig = DecodeConfig(),
+    rec: ReconstructConfig = ReconstructConfig(),
+    saturation: float = 0.98,
+) -> ScanCloud:
+    """Exposure-bracketed reconstruction: (E, F, H, W) stacks fused by
+    per-pixel best-valid-modulation selection (slr.codec.exposure), then
+    triangulated like ``reconstruct_scan``. Colors come from the bracket's
+    brightest unsaturated white frame per pixel."""
+    from slr.codec import decode_multi_exposure
+
+    res = decode_multi_exposure(stacks, cfg, dec, saturation=saturation)
+    H, W = res.x_p.shape
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    if res.y_p is not None and rec.method in ("midpoint", "dlt"):
+        pts, _ = triangulate_rays(cam, proj, u, v, res.x_p, res.y_p)
+        depth = pts[..., 2]
+    else:
+        pts, depth = triangulate_plane(cam, proj, u, v, res.x_p)
+    mask = res.mask & (depth > rec.min_depth) & (depth < rec.max_depth)
+    pts = jnp.where(mask[..., None], pts, 0.0)
+    whites = jax.vmap(_white_color)(stacks)           # (E, H, W)
+    colors = jnp.max(jnp.where(whites < saturation, whites, 0.0), axis=0)
+    return ScanCloud(points=pts, mask=mask, colors=colors,
+                     quality=res.quality, x_p=res.x_p)
+
+
 @partial(jax.jit, static_argnames=("cfg", "dec", "rec", "spatial_iters",
                                    "spatial_mode"))
 def reconstruct_dense(

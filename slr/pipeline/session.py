@@ -132,7 +132,14 @@ class Session:
         mesh = self.mesh
         H = frames.shape[1]
         frames2 = self.load_scan(idx, second=True)
-        if frames2 is not None and self.cam2 is not None:
+        if frames.ndim == 4:
+            # exposure bracket (E, F, H, W): HDR decode fusion
+            from slr.pipeline.reconstruct import reconstruct_scan_hdr
+
+            cloud = reconstruct_scan_hdr(
+                frames, self.cam, self.proj, p, self.config.decode,
+                self.config.reconstruct)
+        elif frames2 is not None and self.cam2 is not None:
             # two-camera rig: projector-space rendezvous triangulation
             # (projector calibration does not enter the geometry)
             from slr.pipeline.twocam import reconstruct_two_camera
@@ -208,7 +215,7 @@ class Session:
         if n == 0:
             return 0
         mesh = self.mesh
-        if self.cam2 is not None or (
+        if self.cam2 is not None or self.load_scan(0).ndim == 4 or (
                 mesh is not None and mesh.shape["pixel_tile"] > 1):
             for i in range(n):
                 self.reconstruct(i, fused=fused)

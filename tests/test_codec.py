@@ -295,3 +295,66 @@ def test_wavefront_prefers_quality_paths():
     # every good pixel correct: the wavefront crossed via the corridor,
     # never through the noisy band while good pixels remained
     assert err.max() < 1e-3, err.max()
+
+
+def test_multi_exposure_decode_covers_dark_and_saturated():
+    """HDR bracket fusion (slr.codec.exposure): a low exposure decodes the
+    bright half, a high exposure the dark half (where the low exposure's
+    modulation dies); the fused decode covers both at full accuracy, and
+    saturated pixels never win the per-pixel selection."""
+    import jax
+
+    from slr.codec import decode_multi_exposure
+    from slr.synth import checker_albedo, render_scan
+    from slr.synth.render import default_rig
+
+    H, W = 192, 256
+    cam, proj = default_rig(cam_w=W, cam_h=H, proj_w=256, proj_h=192)
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                        phase_steps=4)
+    # left half nearly black (albedo 0.04), right half full white
+    albedo = jnp.where(
+        jnp.arange(W)[None, :] < W // 2, 0.04, 1.0
+    ) * jnp.ones((H, 1))
+    depth = jnp.full((H, W), 500.0, jnp.float32)
+    # render noiselessly; exposure scales the SIGNAL and read noise is
+    # added per capture (a longer exposure improves SNR — scaling an
+    # already-noisy render would wrongly amplify the noise with the gain)
+    scan = render_scan(cam, proj, depth, cfg, albedo=albedo)
+
+    def exposed(gain, key):
+        noisy = scan.frames * gain + 0.004 * jax.random.normal(
+            key, scan.frames.shape)
+        return jnp.clip(noisy, 0.0, 1.0)
+
+    # the low exposure must sit BELOW full scale on the bright half (a
+    # white frame at ADC full scale reads as saturated, as in a real
+    # camera), the high exposure above it
+    lo = exposed(0.6, jax.random.PRNGKey(1))
+    hi = exposed(12.0, jax.random.PRNGKey(2))
+    stacks = jnp.stack([lo, hi])
+
+    dec = DecodeConfig()
+    r_lo = decode_stack(lo, cfg, dec)
+    r_hi = decode_stack(hi, cfg, dec)
+    fused = decode_multi_exposure(stacks, cfg, dec)
+
+    true_mask = np.asarray(scan.mask_true)
+    n_lo = int((np.asarray(r_lo.mask) & true_mask).sum())
+    n_hi = int((np.asarray(r_hi.mask) & true_mask).sum())
+    n_f = int((np.asarray(fused.mask) & true_mask).sum())
+    # each single exposure loses a half; fusion keeps (almost) everything
+    assert n_f > 1.3 * max(n_lo, n_hi), (n_lo, n_hi, n_f)
+    assert n_f > 0.9 * true_mask.sum()
+
+    # accuracy everywhere the fused decode claims validity
+    valid = np.asarray(fused.mask) & true_mask
+    err = np.abs(np.asarray(fused.x_p) - np.asarray(scan.xp_true))[valid]
+    assert np.percentile(err, 99) < 0.1, np.percentile(err, 99)
+
+    # the saturated bright half must come from the LOW exposure: the high
+    # exposure's white frame clips there
+    sat_hi = np.asarray(hi[0]) >= 0.98
+    lit_right = true_mask.copy()
+    lit_right[:, : W // 2] = False
+    assert sat_hi[lit_right].mean() > 0.9

@@ -554,3 +554,74 @@ def test_registration_batched_sharded_over_map_block():
         rot_err, t_err = _pose_err(reg.R[s], reg.t[s], R_m, t_m)
         assert rot_err < 0.5, (s, rot_err)
         assert t_err < 2.0, (s, t_err)
+
+
+def test_reconstruct_stream_matches_sequential():
+    """PP-analog streaming executor (slr.pipeline.stream): double-buffered
+    prefetch must change scheduling only — outputs identical to the
+    per-scan path, in order, for any prefetch depth."""
+    from slr.pipeline import reconstruct_stream
+    from slr.synth import bumps_depth
+
+    H, W = 160, 256
+    cam, proj = default_rig(cam_w=W, cam_h=H, proj_w=256, proj_h=192)
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                        phase_steps=4)
+    depth = bumps_depth(H, W, base=500.0, amp=20.0)
+    stacks = [
+        np.asarray(render_scan(cam, proj, depth, cfg, noise_std=0.003,
+                               key=jax.random.PRNGKey(k)).frames)
+        for k in range(3)
+    ]
+    ref = [reconstruct_dense(jnp.asarray(s), cam, proj, cfg) for s in stacks]
+    for prefetch in (1, 2, 3):
+        out = list(reconstruct_stream(stacks, cam, proj, cfg,
+                                      prefetch=prefetch))
+        assert len(out) == len(ref)
+        for o, r in zip(out, ref):
+            np.testing.assert_array_equal(np.asarray(o.points),
+                                          np.asarray(r.points))
+            np.testing.assert_array_equal(np.asarray(o.mask),
+                                          np.asarray(r.mask))
+
+
+def test_session_hdr_bracket_reconstruct(tmp_path):
+    """An exposure-bracketed scan (E, F, H, W) stored via add_scan routes
+    through the HDR fusion path and reconstructs both the dark and the
+    bright half of the scene."""
+    from slr.synth import bumps_depth, checker_albedo  # noqa: F401
+
+    H, W = 160, 256
+    cam, proj = default_rig(cam_w=W, cam_h=H, proj_w=256, proj_h=192)
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=6,
+                        phase_steps=4)
+    albedo = jnp.where(jnp.arange(W)[None, :] < W // 2, 0.04,
+                       1.0) * jnp.ones((H, 1))
+    depth = bumps_depth(H, W, base=500.0, amp=15.0)
+    # clean render; per-capture read noise added after the exposure gain
+    # (exposure scales signal, not noise). Low bracket below full scale
+    # on the bright half (full-scale white counts as saturated).
+    scan = render_scan(cam, proj, depth, cfg, albedo=albedo)
+
+    def exposed(gain, key):
+        return jnp.clip(scan.frames * gain + 0.004 * jax.random.normal(
+            key, scan.frames.shape), 0.0, 1.0)
+
+    lo = exposed(0.6, jax.random.PRNGKey(1))
+    hi = exposed(12.0, jax.random.PRNGKey(2))
+
+    sess = Session(tmp_path / "hdr", ScanConfig(pattern=cfg, cam_width=W,
+                                                cam_height=H))
+    sess.set_calibration(cam, proj)
+    sess.add_scan(jnp.stack([lo, hi]))
+    cloud = sess.reconstruct(0)
+
+    true_mask = np.asarray(scan.mask_true)
+    valid = np.asarray(cloud.mask) & true_mask
+    # BOTH halves covered (single-exposure decode loses one of them)
+    assert valid[:, : W // 2].sum() > 0.7 * true_mask[:, : W // 2].sum()
+    assert valid[:, W // 2:].sum() > 0.7 * true_mask[:, W // 2:].sum()
+    err = np.linalg.norm(
+        np.asarray(cloud.points) - np.asarray(scan.points_true),
+        axis=-1)[valid]
+    assert np.sqrt((err ** 2).mean()) < 1.0, np.sqrt((err ** 2).mean())
