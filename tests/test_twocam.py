@@ -122,3 +122,44 @@ def test_two_camera_masks_single_view_occlusion():
     assert n_cut < 0.8 * n_full, (n_cut, n_full)
     rms, _ = _rms(cloud.points, cloud.mask, s1)
     assert rms < 0.5, rms
+
+
+def test_two_camera_multiscan_registration():
+    """Two-camera clouds are ordinary ScanClouds: two rig poses of the
+    world scene register through the standard ICP + pose-graph path and
+    recover the rig motion. rocks_scene, not spheres_scene: this rig's
+    two-view overlap crops the symmetry-breaking small spheres (both are
+    tucked behind the big one from its viewpoints), leaving a near-
+    symmetric sphere+plane orbit that ICP legitimately slides along."""
+    from slr.config import RegistrationConfig
+    from slr.geom.se3 import so3_exp
+    from slr.pipeline import register_scans
+    from slr.synth import move_rig, rocks_scene
+
+    cfg = _cfg()
+    cam1, cam2, proj = two_camera_rig(cam_w=CAM_W, cam_h=CAM_H,
+                                      proj_w=512, proj_h=384)
+    R_m = so3_exp(jnp.asarray([0.0, 0.04, 0.01], jnp.float32))
+    t_m = jnp.asarray([10.0, -5.0, 3.0], jnp.float32)
+    clouds = []
+    for pose_i, (R_p, t_p) in enumerate(
+            [(jnp.eye(3), jnp.zeros(3)), (R_m, t_m)]):
+        scans = []
+        for cam_i, cam in enumerate((cam1, cam2)):
+            cam_s, proj_s = move_rig(cam, proj, R_p, t_p)
+            depth = rocks_scene(cam_s, CAM_H, CAM_W)
+            scans.append(render_scan(cam_s, proj_s, depth, cfg,
+                                     noise_std=0.003,
+                                     key=jax.random.PRNGKey(10 * pose_i
+                                                            + cam_i),
+                                     cast_shadows=True))
+        clouds.append(reconstruct_two_camera(
+            scans[0].frames, scans[1].frames, cam1, cam2, cfg))
+    reg = register_scans(clouds, RegistrationConfig(icp_sample_points=2048),
+                         use_features=False, loop_closures=False)
+    rot_err = np.degrees(np.arccos(np.clip(
+        (np.trace(np.asarray(reg.R[1]).T @ np.asarray(R_m)) - 1) / 2,
+        -1, 1)))
+    t_err = float(np.linalg.norm(np.asarray(reg.t[1]) - np.asarray(t_m)))
+    assert rot_err < 0.5, rot_err
+    assert t_err < 2.0, t_err
