@@ -48,6 +48,34 @@ class BAResult(NamedTuple):
     rms: jnp.ndarray      # per-residual-component RMS
 
 
+def _inv3x3(A):
+    """Batched closed-form 3x3 inverse via the adjugate. jnp.linalg.inv
+    lowers to a pivoted LU that the TPU executes as a slow scalar path;
+    for the (L,3,3) landmark blocks the cofactor form is a handful of
+    fused VPU multiplies (the H_ll blocks are SPD + Tikhonov, so the
+    determinant is bounded away from zero)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], -1),
+        jnp.stack([c10, c11, c12], -1),
+        jnp.stack([c20, c21, c22], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
 def _hat(v):
     zeros = jnp.zeros_like(v[..., 0])
     return jnp.stack(
@@ -121,10 +149,12 @@ def _assemble_block(R, t, X, obs_s, obs_p, obs_w, S: int, damping: float,
     UtU = jnp.einsum("lkai,lkaj->lkij", U1, U1)
     Utr = jnp.einsum("lkai,lka->lki", U1, r1)
     seg = obs_s.reshape(-1)
-    H_pp = jax.ops.segment_sum(
-        UtU.reshape(-1, 6, 6), seg, num_segments=S
-    )                                               # (S,6,6) diag blocks
-    g_p = jax.ops.segment_sum(Utr.reshape(-1, 6), seg, num_segments=S)
+    # pose-indexed reductions as one-hot matmuls, not segment_sum: TPU
+    # scatter is serial-ish and dominated the iteration; with S poses the
+    # one-hot contraction is a tiny MXU matmul instead
+    onehot = jax.nn.one_hot(seg, S, dtype=U1.dtype)         # (N,S)
+    H_pp = jnp.einsum("nij,ns->sij", UtU.reshape(-1, 6, 6), onehot)
+    g_p = jnp.einsum("ni,ns->si", Utr.reshape(-1, 6), onehot)
 
     # landmark blocks
     H_ll = jnp.einsum("lkai,lkaj->lij", V1, V1)     # (Lb,3,3)
@@ -132,18 +162,18 @@ def _assemble_block(R, t, X, obs_s, obs_p, obs_w, S: int, damping: float,
     g_l = jnp.einsum("lkai,lka->li", V1, r1)        # (Lb,3)
     W = jnp.einsum("lkai,lkaj->lkij", U1, V1)       # (Lb,K,6,3) per-obs W
 
-    H_ll_inv = jnp.linalg.inv(H_ll)                 # (Lb,3,3) tiny blocks
+    H_ll_inv = _inv3x3(H_ll)                        # (Lb,3,3) tiny blocks
     # Schur cross terms: for each landmark, all (k1, k2) pose pairs
     WHW = jnp.einsum(
         "lkij,ljm,lqnm->lkqin", W, H_ll_inv, W
     )                                               # (Lb,K,K,6,6)
-    K = obs_s.shape[1]
     pair_seg = (obs_s[:, :, None] * S + obs_s[:, None, :]).reshape(-1)
-    H_cross = jax.ops.segment_sum(
-        WHW.reshape(-1, 6, 6), pair_seg, num_segments=S * S
+    pair_hot = jax.nn.one_hot(pair_seg, S * S, dtype=U1.dtype)
+    H_cross = jnp.einsum(
+        "nij,np->pij", WHW.reshape(-1, 6, 6), pair_hot
     ).reshape(S, S, 6, 6)
     Whg = jnp.einsum("lkij,ljm,lm->lki", W, H_ll_inv, g_l)  # (Lb,K,6)
-    g_cross = jax.ops.segment_sum(Whg.reshape(-1, 6), seg, num_segments=S)
+    g_cross = jnp.einsum("ni,ns->si", Whg.reshape(-1, 6), onehot)
 
     H_red = -H_cross
     H_red = H_red.at[jnp.arange(S), jnp.arange(S)].add(H_pp)
@@ -179,7 +209,10 @@ def _ba_iteration(R, t, X, obs_s, obs_p, obs_w, S, damping, axis_name=None,
     # gauge fix: anchor pose 0; LM-style diagonal damping on the pose block
     anchor = jnp.concatenate([jnp.full(6, 1e12), jnp.zeros(6 * S - 6)])
     H_red = H_red + jnp.diag(anchor + damping)
-    dxi = -jnp.linalg.solve(H_red, g_red)
+    # H_red is SPD (Gauss-Newton + damping + anchor): Cholesky beats the
+    # pivoted-LU jnp.linalg.solve on TPU for this small dense system
+    chol = jax.scipy.linalg.cho_factor(H_red, lower=True)
+    dxi = -jax.scipy.linalg.cho_solve(chol, g_red)
     dX = _back_substitute(H_ll_inv, g_l, W, obs_s, dxi, S)
     dR, dt = jax.vmap(se3_exp)(dxi.reshape(S, 6))
     R_new = jnp.einsum("sij,sjk->sik", R, dR)

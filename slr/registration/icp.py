@@ -40,7 +40,9 @@ def _solve_point_to_plane(src, tgt, nrm, w):
     H = Aw.T @ A                                     # 6x6
     g = Aw.T @ e
     H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-    xi = -jnp.linalg.solve(H, g)
+    # SPD normal equations: Cholesky avoids the TPU-hostile pivoted LU
+    xi = -jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(H, lower=True), g)
     return xi, e
 
 
