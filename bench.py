@@ -98,12 +98,15 @@ def main():
         t_los.sort()
         return deltas[len(deltas) // 2], t_los[len(t_los) // 2]
 
+    # the fused scan is ~0.15 ms; a delta below 20 us means the relay
+    # flaked so that T(K) ~ T(1) even interleaved — re-measure with a
+    # 3x chain before trusting it
     K_HI = 33
     ms, t_lo = measure(K_HI)
     timing_ok = True
-    if ms <= 1e-5:
+    if ms <= 0.02:
         ms, t_lo = measure(3 * K_HI - 2)
-    if ms <= 1e-5:
+    if ms <= 0.02:
         # no plausible chained delta: fall back to the dispatch-amortized
         # upper bound rather than reporting a fake fast number
         hi = make_loop(K_HI)

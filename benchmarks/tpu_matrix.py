@@ -109,12 +109,18 @@ def device_ms(step, x0, K_hi=65, n=5):
         return deltas[len(deltas) // 2]
 
     med = measure(K_hi)
-    if med > 1e-5:
+    if med > 0.02:
         return med, True
-    med = measure(3 * K_hi - 2)
-    if med > 1e-5:
-        return med, True
-    return max(med, 1e-6), False
+    # delta implausibly small (< 20 us — nothing in this matrix is that
+    # fast): the relay can flake so that T(K) ~ T(1) even interleaved
+    # (observed once: a 19.6 ms/iter case measured 0.0004). Re-measure
+    # with a 3x chain; accept only if the longer chain shows a plausible
+    # time, or if both runs agree that the case is genuinely tiny.
+    med2 = measure(3 * K_hi - 2)
+    if med2 > 1e-5 and (med2 > 0.02
+                        or (med > 1e-5 and 1 / 3 < med2 / med < 3)):
+        return med2, True
+    return max(med2, 1e-6), False
 
 
 def rms_vs_truth(pts_3hw, mask_hw, scan):
