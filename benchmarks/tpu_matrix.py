@@ -431,6 +431,50 @@ def main():
     except Exception:
         emit("schur_ba_S6_L4096_10iter", error=traceback.format_exc()[-1500:])
 
+    # ---- two-camera projector-space rendezvous ----
+    try:
+        from slr.pipeline import reconstruct_two_camera
+        from slr.synth import spheres_scene, two_camera_rig
+
+        H2, W2 = 1024, 1280
+        cfg2 = PatternConfig(proj_width=1024, proj_height=768, gray_bits=7,
+                             row_gray_bits=6, phase_steps=4,
+                             row_phase_steps=4)
+        c1, c2, prj = two_camera_rig(cam_w=W2, cam_h=H2, proj_w=1024,
+                                     proj_h=768)
+        scans2 = []
+        for i, c in enumerate((c1, c2)):
+            d2 = spheres_scene(c, H2, W2)
+            scans2.append(render_scan(c, prj, d2, cfg2, noise_std=0.003,
+                                      key=jax.random.PRNGKey(20 + i),
+                                      cast_shadows=True))
+        sa, sb = scans2
+        from slr.config import ReconstructConfig
+        rec2 = ReconstructConfig(min_depth=300.0, max_depth=900.0)
+
+        for meth, K_hi in (("search", 17), ("splat", 3)):
+            cl = jax.block_until_ready(jax.jit(
+                lambda a, b: reconstruct_two_camera(
+                    a, b, c1, c2, cfg2, rec=rec2, method=meth))(
+                sa.frames, sb.frames))
+            rms2, n2 = rms_vs_truth(
+                jnp.moveaxis(cl.points, -1, 0), cl.mask, sa)
+
+            def tc_step(f, meth=meth):
+                o = reconstruct_two_camera(f, sb.frames, c1, c2, cfg2,
+                                           rec=rec2, method=meth)
+                return o.points[0, 0, 0], f.at[0, 0, 0].add(
+                    o.points[0, 0, 0] * 1e-30)
+
+            ms, tok = device_ms(tc_step, sa.frames, K_hi=K_hi)
+            emit(f"two_camera_{meth}", ms_per_scan=round(ms, 4),
+                 rms_mm=round(rms2, 4), valid_points=n2,
+                 points_per_s=round(n2 / (ms / 1e3)),
+                 ok=bool(rms2 < 0.5) and tok, timing_ok=tok,
+                 timing="device_chained_loop")
+    except Exception:
+        emit("two_camera_rendezvous", error=traceback.format_exc()[-1500:])
+
     emit("done")
 
 

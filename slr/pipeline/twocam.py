@@ -167,6 +167,118 @@ def match_via_projector(
     return u2, v2, S0, resid
 
 
+def match_via_depth_search(
+    x_p1, y_p1, dec2_x, mask2, cam1: Camera, cam2: Camera,
+    t_lo: float, t_hi: float, iters: int = 20, coarse: int = 48,
+):
+    """Scatter-free rendezvous: locate the depth along each cam-1 ray at
+    which cam 2's decoded column code under the ray point's cam-2
+    projection equals the query code.
+
+    The splat/gather path is exact but its (4·H·W)-entry scatter-add is
+    the one op XLA cannot make fast on TPU (measured 0.59 s/scan at
+    1280×1024 — serial scatter). Here every step is a dense gather: as t
+    sweeps the bracket, the cam-2 pixel under proj2(ray1(t)) sweeps the
+    epipolar line and the surface code under it varies monotonically
+    except across occlusion jumps; at the true surface the codes match.
+
+    Two phases, both fixed-iteration: a ``coarse`` uniform sweep of the
+    bracket keeps the sign-change interval whose endpoint errors are
+    smallest (the bracket may contain no crossing for much of its range
+    — outside cam 2's frustum the masked code map reads 0 — and can
+    contain several at occlusion jumps); then ``iters`` bisection steps
+    localize the root inside that interval. False roots at
+    discontinuities converge but fail the caller's left-right
+    code-equality gates.
+
+    Returns (u2, v2, t_star): matched cam-2 pixel coords and ray depth.
+    """
+    H, W = x_p1.shape
+    v1 = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    u1 = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    o1, d1 = pixel_to_ray(cam1, u1, v1)
+    from slr.geom.camera import project
+
+    x2map = jnp.where(mask2, dec2_x, 0.0)
+
+    def code_err(t):
+        p = o1 + t[..., None] * d1
+        uv2, _ = project(cam2, p)
+        cx = _bilinear(x2map, uv2[..., 0], uv2[..., 1])
+        return cx - x_p1, uv2
+
+    # Per-pixel bracket: clip [t_lo, t_hi] to the segment of the ray
+    # inside cam 2's frustum. Outside it the masked code map reads 0 and
+    # the sweep wastes samples on (or worse, hides the surface band
+    # between) dead stretches. In cam-2 coords the ray is a + t b, and
+    # each frustum face (Z > 0, 0 <= u,v <= bounds, distortion ignored —
+    # this is a bracket, not a measurement) is one linear-in-t constraint
+    # c0 + c1 t >= 0.
+    H2, W2 = dec2_x.shape
+    a = jnp.einsum("ij,j->i", cam2.R, o1) + cam2.t          # (3,)
+    b = jnp.einsum("ij,...j->...i", cam2.R, d1)             # (H,W,3)
+    lo_px = jnp.full((H, W), t_lo, jnp.float32)
+    hi_px = jnp.full((H, W), t_hi, jnp.float32)
+    cons = (
+        (a[2] - 1e-3, b[..., 2]),
+        (cam2.fx * a[0] + cam2.cx * a[2],
+         cam2.fx * b[..., 0] + cam2.cx * b[..., 2]),
+        ((W2 - 1 - cam2.cx) * a[2] - cam2.fx * a[0],
+         (W2 - 1 - cam2.cx) * b[..., 2] - cam2.fx * b[..., 0]),
+        (cam2.fy * a[1] + cam2.cy * a[2],
+         cam2.fy * b[..., 1] + cam2.cy * b[..., 2]),
+        ((H2 - 1 - cam2.cy) * a[2] - cam2.fy * a[1],
+         (H2 - 1 - cam2.cy) * b[..., 2] - cam2.fy * b[..., 1]),
+    )
+    for c0, c1 in cons:
+        c0 = jnp.broadcast_to(c0, (H, W))
+        root = -c0 / jnp.where(jnp.abs(c1) < 1e-12, 1e-12, c1)
+        lo_px = jnp.where(c1 > 0, jnp.maximum(lo_px, root), lo_px)
+        hi_px = jnp.where(c1 < 0, jnp.minimum(hi_px, root), hi_px)
+        infeasible = (jnp.abs(c1) < 1e-12) & (c0 < 0)
+        hi_px = jnp.where(infeasible, lo_px, hi_px)
+    hi_px = jnp.maximum(hi_px, lo_px)
+
+    dt = (hi_px - lo_px) / (coarse - 1)
+    f0, _ = code_err(lo_px)
+    big = jnp.float32(1e30)
+    init = (lo_px,                                    # best interval lo
+            hi_px,                                    # best interval hi
+            jnp.full((H, W), big),                    # best score
+            f0,                                       # f at best lo
+            f0)                                       # f at previous sample
+
+    def sweep(i, st):
+        b_lo, b_hi, b_sc, b_f, f_prev = st
+        t_i = lo_px + dt * i.astype(jnp.float32)
+        f_i, _ = code_err(t_i)
+        change = jnp.sign(f_i) != jnp.sign(f_prev)
+        score = jnp.where(change, jnp.abs(f_i) + jnp.abs(f_prev), big)
+        better = score < b_sc
+        return (jnp.where(better, t_i - dt, b_lo),
+                jnp.where(better, t_i, b_hi),
+                jnp.where(better, score, b_sc),
+                jnp.where(better, f_prev, b_f),
+                f_i)
+
+    lo, hi, _, f_lo, _ = jax.lax.fori_loop(1, coarse, sweep, init)
+
+    def body(_, st):
+        lo, hi, f_lo = st
+        mid = 0.5 * (lo + hi)
+        f_mid, _ = code_err(mid)
+        same = jnp.sign(f_mid) == jnp.sign(f_lo)
+        lo_n = jnp.where(same, mid, lo)
+        f_lo_n = jnp.where(same, f_mid, f_lo)
+        hi_n = jnp.where(same, hi, mid)
+        return lo_n, hi_n, f_lo_n
+
+    lo, hi, _ = jax.lax.fori_loop(0, iters, body, (lo, hi, f_lo))
+    t_star = 0.5 * (lo + hi)
+    _, uv2 = code_err(t_star)
+    return uv2[..., 0], uv2[..., 1], t_star
+
+
 def _code_edge_mask(x_p, y_p, mask, tol: float):
     """False at code-discontinuity pixels: a silhouette-edge pixel blends
     foreground and background intensities, so its decoded code is an
@@ -202,7 +314,7 @@ def _bilinear(img, x, y):
 
 @partial(jax.jit, static_argnames=("cfg", "dec", "rec", "max_ray_gap",
                                    "min_weight", "max_resid", "code_tol",
-                                   "edge_tol"))
+                                   "edge_tol", "method", "search_iters"))
 def reconstruct_two_camera(
     frames1,
     frames2,
@@ -216,21 +328,40 @@ def reconstruct_two_camera(
     max_resid: float = 1.5,
     code_tol: float = 0.5,
     edge_tol: float = 3.0,
+    method: str = "splat",
+    search_iters: int = 24,
 ) -> ScanCloud:
     """Decode both stacks, rendezvous in projector space, triangulate
     cam-1 x cam-2 rays. Projector calibration is NOT an input: only the two
     camera calibrations shape the geometry.
 
+    ``method``: "splat" (default) is the moment-splat/MLS-gather path —
+    bracket-free and the faster of the two ON TPU (0.59 s/scan at
+    1280×1024; its (4·H·W)-entry scatter-add is slow there but runs
+    once). "search" is epipolar depth sweep + bisection over
+    [rec.min_depth, rec.max_depth] (clipped per pixel to cam 2's
+    frustum): ~4x more accurate (no splat-grid smoothing — 0.028 vs
+    0.108 mm RMS on the test rig) and faster on CPU, but its ~70 full-
+    frame bilinear gathers are random-access and TPU gathers are as
+    serial as scatters (4.0 s/scan measured), so on TPU use it when
+    accuracy beats speed. Set rec.min/max_depth to the scanner's
+    working volume for "search": with the default [1, 1e4] bracket the
+    coarse sweep can step over narrow surface bands and coverage drops
+    ~15 %. (The real TPU fix for both — a Pallas kernel doing the
+    rectified row-wise monotonic code merge in VMEM — is future work.)
+
     ``max_ray_gap`` (scene units) gates on the common-perpendicular
     distance of the matched rays; ``min_weight`` on the splat evidence;
     ``max_resid`` (cam-2 px) on the local linear-fit residual, which
     rejects depth-discontinuity pixels whose projector cell mixes two
-    surfaces; ``code_tol`` (projector px) is the left-right consistency
-    gate — cam 2's own decoded code, sampled at the matched (u2, v2),
-    must agree with the query code. This is what rejects points OCCLUDED
-    in cam 2: their starved gather neighborhood extrapolates background
-    geometry with a deceptively perfect (zero-residual) fit, but the
-    background's code never matches the query's.
+    surfaces (both splat-only); ``code_tol`` (projector px) is the
+    left-right consistency gate — cam 2's own decoded code, sampled at
+    the matched (u2, v2), must agree with the query code on BOTH axes.
+    This is what rejects points OCCLUDED in cam 2 (under "splat" the
+    starved gather extrapolates background geometry with a deceptively
+    perfect zero-residual fit; under "search" the bisection converges
+    onto an occlusion discontinuity instead of a root) — in both cases
+    the background's code never matches the query's.
     """
     if not cfg.row_gray_bits:
         raise ValueError(
@@ -251,10 +382,19 @@ def reconstruct_two_camera(
     # ask for codes that exist on no surface (``edge_tol`` proj px)
     edge1 = _code_edge_mask(r1.x_p, r1.y_p, r1.mask, edge_tol)
     edge2 = _code_edge_mask(r2.x_p, r2.y_p, r2.mask, edge_tol)
-    w2 = jnp.where(r2.mask & edge2, jnp.maximum(r2.quality, 1e-6), 0.0)
-    u2, v2, gw, resid = match_via_projector(
-        r1.x_p, r1.y_p, r2.x_p, r2.y_p, w2,
-        cfg.proj_width, cfg.proj_height)
+    if method == "search":
+        u2, v2, _ = match_via_depth_search(
+            r1.x_p, r1.y_p, r2.x_p, r2.mask & edge2, cam1, cam2,
+            t_lo=rec.min_depth, t_hi=rec.max_depth, iters=search_iters)
+        gw = None
+        resid = None
+    elif method == "splat":
+        w2 = jnp.where(r2.mask & edge2, jnp.maximum(r2.quality, 1e-6), 0.0)
+        u2, v2, gw, resid = match_via_projector(
+            r1.x_p, r1.y_p, r2.x_p, r2.y_p, w2,
+            cfg.proj_width, cfg.proj_height)
+    else:
+        raise ValueError(f"unknown two-camera method {method!r}")
 
     o1, d1 = pixel_to_ray(cam1, u1, v1)
     o2, d2 = pixel_to_ray(cam2, u2, v2)
@@ -270,11 +410,12 @@ def reconstruct_two_camera(
                   & (jnp.abs(y_back - r1.y_p) < code_tol))
 
     depth1 = jnp.einsum("j,...j->...", cam1.R[2], pts) + cam1.t[2]
-    mask = (r1.mask & edge1 & consistent
-            & (gw > min_weight) & (gap < max_ray_gap)
-            & (resid < max_resid)
+    mask = (r1.mask & edge1 & consistent & (gap < max_ray_gap)
             & (depth1 > rec.min_depth) & (depth1 < rec.max_depth))
+    if gw is not None:
+        mask = mask & (gw > min_weight) & (resid < max_resid)
     pts = jnp.where(mask[..., None], pts, 0.0)
-    quality = jnp.where(mask, jnp.minimum(r1.quality, gw), 0.0)
+    q_match = r1.quality if gw is None else jnp.minimum(r1.quality, gw)
+    quality = jnp.where(mask, q_match, 0.0)
     return ScanCloud(points=pts, mask=mask, colors=_white_color(frames1),
                      quality=quality, x_p=r1.x_p)

@@ -163,3 +163,23 @@ def test_two_camera_multiscan_registration():
     t_err = float(np.linalg.norm(np.asarray(reg.t[1]) - np.asarray(t_m)))
     assert rot_err < 0.5, rot_err
     assert t_err < 2.0, t_err
+
+
+def test_two_camera_search_matches_splat():
+    """The epipolar depth-search fast path must agree with the
+    splat/MLS-gather oracle wherever both claim validity."""
+    from slr.config import ReconstructConfig
+
+    cfg, cam1, cam2, proj, (s1, s2) = _render_pair()
+    rec = ReconstructConfig(min_depth=300.0, max_depth=900.0)
+    a = reconstruct_two_camera(s1.frames, s2.frames, cam1, cam2, cfg,
+                               rec=rec, method="search")
+    b = reconstruct_two_camera(s1.frames, s2.frames, cam1, cam2, cfg,
+                               rec=rec, method="splat")
+    both = np.asarray(a.mask) & np.asarray(b.mask)
+    # search covers most of what splat covers inside the working volume
+    assert both.sum() > 0.85 * np.asarray(b.mask).sum(), (
+        int(both.sum()), int(np.asarray(b.mask).sum()))
+    d = np.linalg.norm(
+        np.asarray(a.points) - np.asarray(b.points), axis=-1)[both]
+    assert np.percentile(d, 95) < 0.5, np.percentile(d, 95)
