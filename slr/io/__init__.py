@@ -8,7 +8,7 @@ reference's implicit everything-is-a-file resume contract).
 
 from slr.io.ply import write_ply, read_ply, write_obj
 from slr.io.calibio import save_calibration, load_calibration
-from slr.io.checkpoint import save_stage, load_stage, save_ba_state, load_ba_state
+from slr.io.checkpoint import (save_stage, load_stage, peek_stage, save_ba_state, load_ba_state)
 from slr.io.opencv_fs import (
     read_opencv_yaml, write_opencv_yaml,
     save_calibration_opencv, load_calibration_opencv,

@@ -24,6 +24,25 @@ def load_stage(path) -> dict:
         return {k: z[k] for k in z.files}
 
 
+def peek_stage(path) -> dict:
+    """Array names -> shapes WITHOUT decompressing the data (reads only
+    the .npy headers inside the zip). Lets routing decisions (e.g. "is
+    scan 0 an exposure bracket?") avoid materializing a 100 MB stack
+    (ADVICE r3 #3)."""
+    import zipfile
+
+    from numpy.lib import format as npformat
+
+    out = {}
+    with zipfile.ZipFile(path) as z:
+        for n in z.namelist():
+            with z.open(n) as f:
+                version = npformat.read_magic(f)
+                shape, _, _ = npformat._read_array_header(f, version)
+                out[n[:-4] if n.endswith(".npy") else n] = shape
+    return out
+
+
 def save_ba_state(path, R, t, X, iteration: int, cost: float):
     save_stage(
         path, R=R, t=t, X=X,

@@ -116,6 +116,13 @@ class Session:
             return (jnp.asarray(d["frames2"]) if "frames2" in d else None)
         return jnp.asarray(d["frames"])
 
+    def _load_scan_pair(self, idx: int):
+        """Both cameras' stacks from ONE stage read (the .npz was being
+        decompressed twice per reconstruction — ADVICE r3 #3)."""
+        d = load_stage(self.scan_paths()[idx])
+        frames2 = jnp.asarray(d["frames2"]) if "frames2" in d else None
+        return jnp.asarray(d["frames"]), frames2
+
     # --- reconstruction ---
     def reconstruct(self, idx: int, fused: bool = True,
                     spatial_iters: int = 0,
@@ -125,13 +132,30 @@ class Session:
         ``accumulate`` additionally bins the cloud onto the projector
         column grid (component 13, the reference's PointCloudImage-style
         accumulation) and persists the accumulated grid alongside the
-        cloud stage file."""
+        cloud stage file.
+
+        Route precedence (first match wins; see tests/test_pipeline.py
+        route-matrix tests):
+          1. HDR bracket (frames.ndim == 4) -> reconstruct_scan_hdr.
+             Combining a bracket with a second camera is NOT supported
+             and raises (silently dropping camera 2 would fall back to
+             projector-calibration triangulation — ADVICE r3 #4).
+          2. two-camera (frames2 + cam2) -> projector-space rendezvous.
+             A configured pixel-tile mesh does NOT shard this route (the
+             rendezvous passes are projector-grid-global); the scan still
+             reconstructs, single-device.
+          3. pixel-tile mesh -> sharded fused kernel (single-camera only).
+          4. fused Pallas kernel / 5. pure-JAX fallback."""
         assert self.cam is not None, "calibrate or set_calibration first"
-        frames = self.load_scan(idx)
+        frames, frames2 = self._load_scan_pair(idx)
         p = self.config.pattern
         mesh = self.mesh
         H = frames.shape[1]
-        frames2 = self.load_scan(idx, second=True)
+        if frames.ndim == 4 and frames2 is not None:
+            raise ValueError(
+                "scan %d has both an exposure bracket and a second-camera "
+                "stack: HDR + two-camera is unsupported (capture the "
+                "bracket per camera as separate scans instead)" % idx)
         if frames.ndim == 4:
             # exposure bracket (E, F, H, W): HDR decode fusion
             from slr.pipeline.reconstruct import reconstruct_scan_hdr
@@ -215,7 +239,10 @@ class Session:
         if n == 0:
             return 0
         mesh = self.mesh
-        if self.cam2 is not None or self.load_scan(0).ndim == 4 or (
+        from slr.io import peek_stage
+
+        scan0_ndim = len(peek_stage(self.scan_paths()[0])["frames"])
+        if self.cam2 is not None or scan0_ndim == 4 or (
                 mesh is not None and mesh.shape["pixel_tile"] > 1):
             for i in range(n):
                 self.reconstruct(i, fused=fused)

@@ -217,8 +217,14 @@ def match_via_depth_search(
     H2, W2 = dec2_x.shape
     a = jnp.einsum("ij,j->i", cam2.R, o1) + cam2.t          # (3,)
     b = jnp.einsum("ij,...j->...i", cam2.R, d1)             # (H,W,3)
-    lo_px = jnp.full((H, W), t_lo, jnp.float32)
-    hi_px = jnp.full((H, W), t_hi, jnp.float32)
+    # t is the parameter of the UNIT-norm ray d1, but the caller's bounds
+    # are cam-1 z-depths (z = t * (R1[2]@d1)); divide by the per-pixel
+    # z-component so the sweep covers [t_lo, t_hi] in DEPTH at every
+    # pixel — off-axis rays otherwise lose up to ~25% of the far range
+    # at the FOV corners (ADVICE r3 #1).
+    d1z = jnp.maximum(jnp.einsum("j,...j->...", cam1.R[2], d1), 1e-3)
+    lo_px = t_lo / d1z
+    hi_px = t_hi / d1z
     cons = (
         (a[2] - 1e-3, b[..., 2]),
         (cam2.fx * a[0] + cam2.cx * a[2],
@@ -286,12 +292,17 @@ def _code_edge_mask(x_p, y_p, mask, tol: float):
     code of a point the camera cannot actually see. Such pixels show a
     code jump of several projector px to at least one 4-neighbor (a smooth
     surface moves ~1 proj px per cam px). Neighbors outside ``mask``
-    don't vote."""
+    don't vote, and neither do the wrapped-around border rows/columns a
+    plain roll drags in (ADVICE r3 #2) — border pixels only compare
+    against real neighbors."""
+    from slr.codec.unwrap import _shift_zero
+
     jump = jnp.zeros_like(x_p)
     for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        dy, dx = (sh, 0) if ax == 0 else (0, sh)
         nx = jnp.roll(x_p, sh, axis=ax)
         ny = jnp.roll(y_p, sh, axis=ax)
-        nm = jnp.roll(mask, sh, axis=ax)
+        nm = _shift_zero(mask.astype(jnp.float32), dy, dx) > 0.5
         d = jnp.abs(nx - x_p) + jnp.abs(ny - y_p)
         jump = jnp.maximum(jump, jnp.where(nm, d, 0.0))
     return jump < tol

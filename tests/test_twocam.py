@@ -109,6 +109,37 @@ def test_two_camera_session_roundtrip(tmp_path):
     assert sess.cloud_count() == 1
 
 
+def test_session_route_matrix(tmp_path):
+    """Route-combination contract (VERDICT r3 #10 / ADVICE r3 #4):
+    an HDR bracket plus a second-camera stack is an explicit error (not a
+    silent fallback to projector triangulation), and a two-camera scan
+    under a pixel-tile mesh reconstructs unsharded with the same result
+    as the meshless session."""
+    from slr.config import DistConfig, ScanConfig
+    from slr.pipeline import Session
+
+    cfg, cam1, cam2, proj, (s1, s2) = _render_pair()
+
+    # HDR bracket + frames2 -> error
+    sess = Session(tmp_path / "bad", ScanConfig(pattern=cfg))
+    sess.set_calibration(cam1, proj, cam2=cam2)
+    bracket = jnp.stack([s1.frames, s1.frames * 0.5])
+    sess.add_scan(bracket, frames2=s2.frames)
+    with pytest.raises(ValueError, match="HDR"):
+        sess.reconstruct(0)
+
+    # two-camera + pixel-tile mesh -> rendezvous route, sharding skipped
+    sess2 = Session(tmp_path / "mesh",
+                    ScanConfig(pattern=cfg, dist=DistConfig(pixel_tiles=2)))
+    sess2.set_calibration(cam1, proj, cam2=cam2)
+    sess2.add_scan(s1.frames, frames2=s2.frames)
+    cloud = sess2.reconstruct(0)
+    ref = reconstruct_two_camera(s1.frames, s2.frames, cam1, cam2, cfg)
+    assert np.array_equal(np.asarray(cloud.mask), np.asarray(ref.mask))
+    np.testing.assert_allclose(np.asarray(cloud.points),
+                               np.asarray(ref.points), atol=1e-5)
+
+
 def test_two_camera_masks_single_view_occlusion():
     """Pixels cam 2 cannot see (no splat evidence at their projector
     coordinate) must be masked, not hallucinated."""
