@@ -40,7 +40,7 @@ from slr.geom.se3 import so3_exp, se3_compose, se3_inverse
 from slr.synth import bumps_depth
 from slr.synth.render import default_rig, render_scan, quantize_frames
 
-OUT = os.path.join(os.path.dirname(__file__), "tpu_matrix_r3.jsonl")
+OUT = os.path.join(os.path.dirname(__file__), "tpu_matrix_r4.jsonl")
 CAM_W, CAM_H = 1280, 1024
 
 
@@ -110,6 +110,14 @@ def device_ms(step, x0, K_hi=65, n=5):
 
     med = measure(K_hi)
     if med > 0.02:
+        if med < 0.3 and K_hi < 257:
+            # sub-ms rows carried +-30% run-to-run relay variance in r3
+            # (one run implied super-speed-of-light HBM bandwidth). A
+            # ~257-long chain amortizes the jitter to ~1% of the delta
+            # (VERDICT r3 next #9).
+            med2 = measure(257)
+            if med2 > 0.02:
+                return med2, True
         return med, True
     # delta implausibly small (< 20 us — nothing in this matrix is that
     # fast): the relay can flake so that T(K) ~ T(1) even interleaved
@@ -272,24 +280,30 @@ def main():
              max_err_vs_jax=errt, ok=bool(errt < 1e-4) and tok,
              timing_ok=tok, timing="device_chained_loop")
 
-        # wavefront (associative-scan monoid) unwrap: prove the
-        # quality_guided_repair path COMPILES AND RUNS on the chip
-        # (VERDICT r2 weak: never verified compiled on TPU)
-        from slr.codec import quality_guided_repair
+        # wavefront unwrap, r4: the VMEM Hillis-Steele kernel with the
+        # 3-field monoid (slr/kernels/wavefront.py) replaces the pure-JAX
+        # associative scan whose 32 full-grid HBM round trips cost
+        # 75.6 ms in r3 (VERDICT r3 next #2: target < 15 ms)
+        from slr.kernels.wavefront import wavefront_repair_pallas
 
-        out_wf = jax.block_until_ready(jax.jit(
-            lambda p, qq, m: quality_guided_repair(p, qq, m,
-                                                   rounds_per_level=2))(
-            Phi_n, q, mask))
-        ms_wf, tok = device_ms(
-            lambda p: (quality_guided_repair(p, q, mask,
-                                             rounds_per_level=2)[0, 0],
-                       p.at[0, 0].add(p[0, 1] * 1e-30)), Phi_n, K_hi=9)
-        # wavefront repairs the same seeded blobs the voting kernels do
-        errw = float(np.abs(np.asarray(out_wf) - np.asarray(ref)).max())
-        emit("wavefront_unwrap", ms=round(ms_wf, 4),
-             max_err_vs_voting=errw, ok=bool(errw < 2 * np.pi) and tok,
-             timing_ok=tok, timing="device_chained_loop")
+        for name, kw, khi in (
+                ("wavefront_unwrap",               # r3-parity heavy config
+                 dict(levels=4, rounds_per_level=2), 9),
+                ("wavefront_unwrap_light",         # repair-mode defaults
+                 dict(), 17)):
+            out_wf = jax.block_until_ready(jax.jit(
+                lambda p, qq, m, kw=kw: wavefront_repair_pallas(
+                    p, qq, m, **kw))(Phi_n, q, mask))
+            ms_wf, tok = device_ms(
+                lambda p, kw=kw: (
+                    wavefront_repair_pallas(p, q, mask, **kw)[0, 0],
+                    p.at[0, 0].add(p[0, 1] * 1e-30)), Phi_n, K_hi=khi)
+            # wavefront repairs the same seeded blobs the voting kernels do
+            errw = float(np.abs(np.asarray(out_wf) - np.asarray(ref)).max())
+            emit(name, ms=round(ms_wf, 4),
+                 max_err_vs_voting=errw,
+                 ok=bool(errw < 1e-4) and tok,
+                 timing_ok=tok, timing="device_chained_loop")
     except Exception:
         emit("quality_unwrap", error=traceback.format_exc()[-1500:])
 
@@ -452,13 +466,33 @@ def main():
         from slr.config import ReconstructConfig
         rec2 = ReconstructConfig(min_depth=300.0, max_depth=900.0)
 
-        for meth, K_hi in (("search", 17), ("splat", 3)):
+        # projector-grid ground truth for the merge method (its organized
+        # cloud lives on the projector grid; the projector is a Camera)
+        from slr.geom.camera import pixel_to_ray
+        d_pt = spheres_scene(prj, cfg2.proj_height, cfg2.proj_width)
+        vg, ug = jnp.meshgrid(
+            jnp.arange(cfg2.proj_height, dtype=jnp.float32),
+            jnp.arange(cfg2.proj_width, dtype=jnp.float32), indexing="ij")
+        o_p, d_p = pixel_to_ray(prj, ug, vg)
+        dz_p = jnp.einsum("j,...j->...", prj.R[2], d_p)
+        pts_true_p = np.asarray(o_p + (d_pt / dz_p)[..., None] * d_p)
+
+        # K_hi stays small for these giant graphs: chaining 17
+        # copies of the search graph once faulted the TPU device
+        # (UNAVAILABLE) — the guardrail is documented in BASELINE.md
+        for meth, K_hi in (("merge", 17), ("search", 17), ("splat", 3)):
             cl = jax.block_until_ready(jax.jit(
                 lambda a, b: reconstruct_two_camera(
                     a, b, c1, c2, cfg2, rec=rec2, method=meth))(
                 sa.frames, sb.frames))
-            rms2, n2 = rms_vs_truth(
-                jnp.moveaxis(cl.points, -1, 0), cl.mask, sa)
+            if meth == "merge":
+                m2 = np.asarray(cl.mask)
+                e2 = np.linalg.norm(
+                    np.asarray(cl.points) - pts_true_p, axis=-1)[m2]
+                rms2, n2 = float(np.sqrt((e2 ** 2).mean())), int(m2.sum())
+            else:
+                rms2, n2 = rms_vs_truth(
+                    jnp.moveaxis(cl.points, -1, 0), cl.mask, sa)
 
             def tc_step(f, meth=meth):
                 o = reconstruct_two_camera(f, sb.frames, c1, c2, cfg2,
@@ -474,6 +508,218 @@ def main():
                  timing="device_chained_loop")
     except Exception:
         emit("two_camera_rendezvous", error=traceback.format_exc()[-1500:])
+
+    # ---- row+column midpoint WITH sub-pixel row phase (VERDICT r3 next
+    # #8: the Gray-only row decode undersold the mode at 0.745 mm) ----
+    try:
+        cam_m, proj_m = default_rig(
+            cam_w=CAM_W, cam_h=CAM_H,
+            proj_dist=[-0.08, 0.02, 0.001, -0.001, 0.0])
+        cfgmp = PatternConfig(proj_width=1024, proj_height=768, gray_bits=7,
+                              row_gray_bits=6, phase_steps=4,
+                              row_phase_steps=4)
+        scanmp = render_scan(cam_m, proj_m, depth, cfgmp)
+        kernel_case("fused_midpoint_rowcol_phase", scanmp.frames, cam_m,
+                    proj_m, cfgmp, dec, scanmp, rms_bound=0.5)
+    except Exception:
+        emit("fused_midpoint_rowcol_phase",
+             error=traceback.format_exc()[-1500:])
+
+    # ---- HDR exposure bracket through the fused kernel (r3 next #5) ----
+    try:
+        from slr.kernels.fused_scan import fused_decode_triangulate_hdr
+        from slr.synth import checker_albedo
+
+        # 21x albedo range: dark cells need the long exposure, which
+        # saturates the bright cells — the capture scenario the bracket
+        # exists for (a uniform-albedo scene would make E=3 pure waste)
+        albedo_h = checker_albedo(CAM_H, CAM_W, cells=8, lo=0.035,
+                                  hi=0.75)
+        scan_h = render_scan(cam, proj, depth, cfg3, noise_std=0.003,
+                             key=jax.random.PRNGKey(9), albedo=albedo_h)
+        bracket = jnp.stack([
+            quantize_frames(jnp.clip(scan_h.frames * g, 0.0, 1.0))
+            for g in (1.0, 3.2, 10.0)])
+
+        @jax.jit
+        def hdr_one(b):
+            o = fused_decode_triangulate_hdr(b, cam, proj, cfg3, dec)
+            return o.points, o.mask
+
+        pts_h, mask_h = jax.block_until_ready(hdr_one(bracket))
+        rms_h, n_h = rms_vs_truth(pts_h, mask_h, scan_h)
+
+        def hdr_step(b):
+            o = fused_decode_triangulate_hdr(b, cam, proj, cfg3, dec)
+            b2 = b.at[0, 0, 0, 0].set(
+                (b[0, 0, 0, 0] ^ (o.points[0, 0, 0] > -1e30).astype(
+                    b.dtype)))
+            return o.points[0, 0, 0], b2
+
+        ms_h, tok = device_ms(hdr_step, bracket, K_hi=33)
+        emit("hdr_fused_e3", ms_per_scan=round(ms_h, 4),
+             rms_mm=round(rms_h, 4), valid_points=n_h,
+             frames=int(bracket.shape[0] * bracket.shape[1]),
+             dtype=str(bracket.dtype),
+             ok=bool(rms_h < 1.0) and tok, timing_ok=tok,
+             timing="device_chained_loop")
+    except Exception:
+        emit("hdr_fused_e3", error=traceback.format_exc()[-1500:])
+
+    # ---- calibration on the chip (VERDICT r3 next #4) ----
+    try:
+        from slr.calib.zhang import calibrate_camera
+        from slr.calib.stereo import stereo_calibrate
+        from slr.geom.camera import make_camera, project
+        from slr.geom.se3 import so3_exp as _so3
+
+        rngc = np.random.default_rng(3)
+        cols, rows_b, sq = 9, 6, 20.0
+        xx, yy = np.meshgrid(np.arange(cols), np.arange(rows_b))
+        obj = np.zeros((cols * rows_b, 3), np.float32)
+        obj[:, 0] = xx.ravel() * sq
+        obj[:, 1] = yy.ravel() * sq
+        obj_j = jnp.asarray(obj)
+        cam_t = make_camera(1400.0, 1395.0, 640.0, 512.0,
+                            dist=[-0.12, 0.05, 0.001, -0.001, 0.0])
+        proj_t = make_camera(1750.0, 1745.0, 512.0, 700.0,
+                             dist=[-0.06, 0.02, 0.0, 0.0, 0.0])
+        R_cp = np.asarray(_so3(jnp.asarray([0.0, -0.28, 0.0],
+                                           jnp.float32)))
+        t_cp = np.asarray([180.0, 6.0, 40.0], np.float32)
+        V = 24
+        cam_uv, proj_uv = [], []
+        for vi in range(V):
+            rv = jnp.asarray(rngc.uniform(-0.35, 0.35, 3), jnp.float32)
+            tv = jnp.asarray(
+                [rngc.uniform(-60, 60), rngc.uniform(-50, 50),
+                 rngc.uniform(420, 640)], jnp.float32)
+            Rb = _so3(rv)
+            pts_w = obj_j @ Rb.T + tv
+            uv_c, _ = project(cam_t, pts_w)
+            pts_p = pts_w @ jnp.asarray(R_cp).T + jnp.asarray(t_cp)
+            uv_p, _ = project(proj_t, pts_p)
+            cam_uv.append(uv_c + rngc.normal(0, 0.1, uv_c.shape))
+            proj_uv.append(uv_p + rngc.normal(0, 0.1, uv_p.shape))
+        cam_uv = jnp.asarray(np.stack(cam_uv), jnp.float32)
+        proj_uv = jnp.asarray(np.stack(proj_uv), jnp.float32)
+
+        res_c = jax.block_until_ready(
+            jax.jit(lambda u: calibrate_camera(obj_j, u))(cam_uv))
+        fx_err = abs(float(res_c.camera.fx) - 1400.0) / 1400.0
+
+        def zh_step(u):
+            r = calibrate_camera(obj_j, u)
+            return r.rms, u.at[0, 0, 0].add(r.rms * 1e-30)
+
+        ms_z, tok = device_ms(zh_step, cam_uv, K_hi=9)
+        emit("calib_zhang_v24", ms=round(ms_z, 3),
+             rms_px=round(float(res_c.rms), 4),
+             fx_rel_err=round(fx_err, 5),
+             ok=bool(fx_err < 5e-3 and float(res_c.rms) < 0.3) and tok,
+             timing_ok=tok, timing="device_chained_loop", views=V)
+
+        res_p = jax.block_until_ready(
+            jax.jit(lambda u: calibrate_camera(obj_j, u))(proj_uv))
+
+        def st_step(u):
+            r = stereo_calibrate(obj_j, u, proj_uv, res_c, res_p)
+            return r.rms, u.at[0, 0, 0].add(r.rms * 1e-30)
+
+        res_s = jax.block_until_ready(jax.jit(
+            lambda u: stereo_calibrate(obj_j, u, proj_uv, res_c,
+                                       res_p))(cam_uv))
+        ms_s, tok = device_ms(st_step, cam_uv, K_hi=5)
+        t_err = float(jnp.linalg.norm(res_s.proj.t - jnp.asarray(t_cp)))
+        emit("calib_stereo_v24", ms=round(ms_s, 3),
+             rms_px=round(float(res_s.rms), 4),
+             t_rel_err_mm=round(t_err, 3),
+             ok=bool(t_err < 1.0 and float(res_s.rms) < 0.3) and tok,
+             timing_ok=tok, timing="device_chained_loop", views=V)
+    except Exception:
+        emit("calib", error=traceback.format_exc()[-1500:])
+
+    # ---- large-N ICP on the voxel-hash NN route (r3 next #6) ----
+    try:
+        src_np = bumpy(65536, 3)
+        src64 = jnp.asarray(src_np)
+        rv = jnp.asarray([0.01, -0.02, 0.015], jnp.float32)
+        R_true = so3_exp(rv)
+        t_true = jnp.asarray([3.0, -2.0, 4.0], jnp.float32)
+        tgt64 = src64 @ R_true.T + t_true
+        gx = (20 * np.cos(src_np[:, 0] / 25.0) / 25.0
+              * np.cos(src_np[:, 1] / 30.0))
+        gy = (-20 * np.sin(src_np[:, 0] / 25.0)
+              * np.sin(src_np[:, 1] / 30.0) / 30.0
+              + 8 * np.cos(src_np[:, 1] / 12.0) / 12.0)
+        n0 = np.column_stack([-gx, -gy, np.ones_like(gx)])
+        n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+        n_tgt64 = jnp.asarray(n0, jnp.float32) @ R_true.T
+
+        def run_icp64(s):
+            return icp_point_to_plane(s, tgt64, n_tgt64, iters=15,
+                                      max_corr_dist=15.0,
+                                      nn_method="voxel")
+
+        res64 = jax.block_until_ready(jax.jit(run_icp64)(src64))
+
+        def icp64_step(s):
+            r = run_icp64(s)
+            return r.rms, s.at[0, 0].add(r.rms * 1e-30)
+
+        ms64, tok = device_ms(icp64_step, src64, K_hi=5)
+        rerr = float(jnp.abs(res64.R - R_true).max())
+        terr = float(jnp.abs(res64.t - t_true).max())
+        emit("icp_64k_voxel_15iter", ms=round(ms64, 3), R_err=rerr,
+             t_err=terr, rms=float(res64.rms),
+             ok=bool(rerr < 5e-3 and terr < 0.5) and tok, timing_ok=tok,
+             timing="device_chained_loop")
+    except Exception:
+        emit("icp_64k_voxel_15iter", error=traceback.format_exc()[-1500:])
+
+    # ---- streaming executor vs sequential dispatch (r3 next #7) ----
+    try:
+        from slr.pipeline.stream import reconstruct_stream
+
+        n_scans = 8
+        stacks_np = [np.asarray(quantize_frames(scan3.frames))
+                     for _ in range(n_scans)]
+
+        # warm the kernel once
+        from slr.pipeline.reconstruct import reconstruct_dense
+        from slr.config import ReconstructConfig as _RC
+        rc0 = _RC()
+        jax.block_until_ready(reconstruct_dense(
+            jnp.asarray(stacks_np[0]), cam, proj, cfg3, dec, rc0).points)
+
+        def run_seq():
+            outs = []
+            for s in stacks_np:
+                f = jax.device_put(jnp.asarray(s))
+                cl = reconstruct_dense(f, cam, proj, cfg3, dec, rc0)
+                jax.block_until_ready(cl.points)   # no overlap
+                outs.append(cl.mask)
+            return outs
+
+        def run_stream():
+            outs = []
+            for cl in reconstruct_stream((jnp.asarray(s)
+                                          for s in stacks_np),
+                                         cam, proj, cfg3, dec, rc0,
+                                         prefetch=3):
+                outs.append(cl.mask)
+            jax.block_until_ready(outs[-1])
+            return outs
+
+        t_seq = timed(lambda: run_seq()[-1], n=3)[0]
+        t_str = timed(lambda: run_stream()[-1], n=3)[0]
+        emit("stream_8scans", seq_ms_total=round(t_seq, 2),
+             stream_ms_total=round(t_str, 2),
+             speedup=round(t_seq / t_str, 2),
+             ok=True, timing="host_wall",
+             note="host wall incl. relay transfers; speedup = overlap win")
+    except Exception:
+        emit("stream_8scans", error=traceback.format_exc()[-1500:])
 
     emit("done")
 

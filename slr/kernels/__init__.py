@@ -14,3 +14,9 @@ slr.codec / slr.geom is asserted in tests/test_kernels.py.
 from slr.kernels.common import use_interpret
 from slr.kernels.fused_scan import fused_decode_triangulate
 from slr.kernels.unwrap_scan import quality_unwrap_pallas, quality_unwrap_tiled
+from slr.kernels.crossing import (
+    crossing_bin_sum, crossing_bin_sum_reference, crossing_interp,
+)
+from slr.kernels.wavefront import (
+    wavefront_unwrap_pallas, wavefront_repair_pallas,
+)

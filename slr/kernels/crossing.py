@@ -1,0 +1,301 @@
+"""Monotone-crossing interpolation: the MXU primitive behind the
+two-camera "merge" correspondence (VERDICT r3 missing #1 / next #1).
+
+Problem: along each row of a decoded map, the projector code x_p(u) is a
+(noisy) monotone sequence; we need the *inverse* sampled on the integer
+projector grid — for every integer code k, the sub-pixel position u*(k)
+where the code crosses k, plus any other per-pixel quantity linearly
+interpolated at that crossing. The reference-class solution walks each
+epipolar line sequentially; the two TPU-hostile alternatives shipped in
+r3 bottom out in scatter (0.59 s/scan) or ~70 full-frame gathers
+(4.0 s/scan) because XLA executes random access near-serially on TPU.
+
+TPU-first formulation: a crossing of bin k at pair (u, u+1) is the
+indicator  onehot[k, u] = (code_lo[u] <= k) & (code_hi[u] > k),
+and every "find + interpolate" becomes ONE matmul per row:
+
+    out[k, n] = sum_u onehot[k, u] * payload[u, n]
+
+with payload channels carrying the interpolation coefficients. Linear
+interpolation at the crossing is EXACT through the matmul because the
+crossing value of any channel q is affine in k:
+
+    q*(k) = q[u] + (k - code_lo[u]) * g,  g = (q[u+1] - q[u]) / d
+          = (q[u] - code_lo[u] * g) + k * g  =  a + k * b
+
+so two payload channels (a, b) per interpolated channel reconstruct
+q*(k) = (A[k] + k * B[k]) / cnt[k] after the contraction.
+
+Numerics on this Mosaic toolchain (probed, benchmarks/probe_mosaic*.py):
+bf16 dots are rejected outright ("Bad lhs type"); f32 dots at DEFAULT
+precision run as ONE MXU pass with bf16-rounded operands and f32
+accumulation. So payload channels are split into three f32-stored,
+bf16-REPRESENTABLE terms (x = h1+h2+h3 exactly) — the in-MXU rounding
+is then the identity and the contraction is f32-exact — while the
+one-hot comparisons stay full-precision f32 on the VPU. The N dimension
+pads to a 128 lane anyway, so split channels are free.
+
+The kernel can tile the pair axis into row-units and skip (row-unit,
+bin-tile) combinations whose code ranges don't overlap via a
+precomputed SMEM activity table — but the on-chip sweep showed the
+grid-step overhead of small tiles outweighs the skipped MXU work at
+production shapes, so the defaults contract full rows with 512-bin
+tiles (1.86 ms vs 5.4 ms per 1024x1280->1024-bin pass); the skip path
+engages only for cameras wider than _UTILE pairs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slr.kernels.common import round_up, use_interpret
+
+# Tile defaults from the on-chip sweep (benchmarks/probe_merge_perf*.py):
+# large bin tiles + NO pair tiling win — grid-step overhead beats the
+# skip-table savings at production shapes (1.86 ms vs 5.4 ms per pass).
+# The u-tile machinery stays for cameras wider than _UTILE pairs.
+_UTILE = 2048       # pairs per row-unit (>= row width = no u-tiling)
+_KTILE = 512        # bins per grid tile
+_RT = 8             # rows per grid block
+
+
+def _round_bf16(x):
+    """Round f32 to the nearest bf16-representable value WITHOUT using
+    the bf16 dtype: XLA:TPU's excess-precision rule elides lossy
+    f32->bf16->f32 convert pairs inside a fused computation, which
+    silently destroyed the split (the r3->r4 debug story: CPU exact,
+    TPU 2.3 mm RMS with identical code). Integer bit math cannot be
+    elided. Round-to-nearest-even on the dropped 16 mantissa bits;
+    finite inputs only."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1)))
+    r = r & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(r, jnp.float32)
+
+
+def _split3(x):
+    """x (f32) as three bf16-representable f32 terms summing exactly."""
+    h1 = _round_bf16(x)
+    r1 = x - h1
+    h2 = _round_bf16(r1)
+    h3 = r1 - h2
+    return h1, h2, h3
+
+
+def build_payload(pair_valid, code_lo, channels_lo, channels_hi, d,
+                  interp: tuple):
+    """Pack the crossing payload: channel 0 = pair validity (the count),
+    then per input channel either (a, b) x 3 split terms (linear
+    interpolation) or one nearest-value term (low precision fine).
+
+    Returns (payload (R, U, N) bf16 storage, unpack) where
+    unpack(out_f32 (..., N), kgrid) -> (cnt, [vals...]).
+    """
+    pv = pair_valid.astype(jnp.float32)
+    terms = [pv]
+    layout = []
+    d_safe = jnp.where(pair_valid, d, 1.0)
+    for c in range(channels_lo.shape[0]):
+        if interp[c]:
+            g = (channels_hi[c] - channels_lo[c]) / d_safe
+            a = channels_lo[c] - code_lo * g
+            i0 = len(terms)
+            terms.extend(_split3(jnp.where(pair_valid, a, 0.0)))
+            terms.extend(_split3(jnp.where(pair_valid, g, 0.0)))
+            layout.append(("interp", i0))
+        else:
+            i0 = len(terms)
+            terms.append(jnp.where(pair_valid, channels_lo[c], 0.0))
+            layout.append(("nearest", i0))
+    payload = jnp.stack(terms, axis=-1).astype(jnp.bfloat16)
+    N = round_up(payload.shape[-1], 8)
+    if payload.shape[-1] != N:
+        payload = jnp.pad(payload,
+                          ((0, 0), (0, 0), (0, N - payload.shape[-1])))
+
+    def unpack(out, kgrid):
+        cnt = out[..., 0]
+        safe = jnp.maximum(cnt, 1e-9)
+        vals = []
+        for kind, i0 in layout:
+            if kind == "interp":
+                A = out[..., i0] + out[..., i0 + 1] + out[..., i0 + 2]
+                B = out[..., i0 + 3] + out[..., i0 + 4] + out[..., i0 + 5]
+                vals.append((A + kgrid * B) / safe)
+            else:
+                vals.append(out[..., i0] / safe)
+        return cnt, vals
+
+    return payload, unpack
+
+
+def _kernel(act_ref, cl_ref, ch_ref, pay_ref, out_ref, *, rt: int,
+            n_blocks_r: int, utile: int, ktile: int):
+    kt = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    act = act_ref[pl.program_id(0), t, kt]
+
+    @pl.when(act != 0)
+    def _compute():
+        k0 = (kt * ktile).astype(jnp.float32)
+
+        def row(r, acc):
+            cl = cl_ref[pl.ds(r, 1), :]                    # (1, UT)
+            ch = ch_ref[pl.ds(r, 1), :]
+            p = pay_ref[pl.ds(r, 1), :, :][0].astype(jnp.float32)
+            kio = jax.lax.broadcasted_iota(
+                jnp.int32, (ktile, utile), 0)
+            kv = k0 + kio.astype(jnp.float32)
+            oh = ((cl <= kv) & (ch > kv)).astype(jnp.float32)
+            acc_o = jax.lax.dot_general(
+                oh, p, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            out_ref[pl.ds(r, 1), :, :] += acc_o[None]
+            return acc
+
+        jax.lax.fori_loop(0, rt, row, 0)
+
+
+@partial(jax.jit, static_argnames=("num_bins", "utile", "ktile", "rt"))
+def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
+                     utile: int = _UTILE, ktile: int = _KTILE,
+                     rt: int = _RT):
+    """out[r, k, n] = sum_u [code_lo[r,u] <= k < code_hi[r,u]] payload[r,u,n]
+    for integer bins k in [0, num_bins). Invalid pairs must arrive with
+    code_lo == code_hi (never fire) and zero payload.
+
+    code_lo/hi (R, U) f32; payload (R, U, N) bf16-storage (values are
+    what the MXU sees — see module docstring). Output (R, num_bins, N)
+    f32, exact for bf16-representable payloads.
+    """
+    R, U = code_lo.shape
+    N = payload.shape[-1]
+    utile = min(utile, round_up(U, 128))
+    Kp = round_up(num_bins, ktile)
+    Up = round_up(U, utile)
+    Rp = round_up(R, rt)
+    if (Rp, Up) != (R, U):
+        pr, pu = Rp - R, Up - U
+        code_lo = jnp.pad(code_lo, ((0, pr), (0, pu)),
+                          constant_values=-1.0)
+        code_hi = jnp.pad(code_hi, ((0, pr), (0, pu)),
+                          constant_values=-1.0)
+        payload = jnp.pad(payload, ((0, pr), (0, pu), (0, 0)))
+    T = Up // utile
+    nbr = Rp // rt
+
+    # activity table (nbr, T, Ktiles): a (row-block, u-tile, bin-tile)
+    # combination is active iff any of its rows' [min cl, max ch) ranges
+    # overlaps the tile's bin range. Invalid pairs have cl == ch and can
+    # never fire, but they would poison the range, so mask them out of
+    # the min/max. The u-tiling itself happens in the BlockSpec index
+    # maps — no data movement.
+    firing = code_hi > code_lo
+    cmin = jnp.where(firing, code_lo, jnp.float32(3e38)).reshape(
+        nbr, rt, T, utile).min(axis=(1, 3))
+    cmax = jnp.where(firing, code_hi, jnp.float32(-3e38)).reshape(
+        nbr, rt, T, utile).max(axis=(1, 3))
+    klo = jnp.arange(Kp // ktile, dtype=jnp.float32) * ktile
+    act = ((cmin[..., None] <= klo + (ktile - 1))
+           & (cmax[..., None] > klo)).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        partial(_kernel, rt=rt, n_blocks_r=nbr, utile=utile, ktile=ktile),
+        grid=(nbr, Kp // ktile, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rt, utile), lambda r, k, t: (r, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, utile), lambda r, k, t: (r, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, utile, N),
+                         lambda r, k, t: (r, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, ktile, N), lambda r, k, t: (r, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, Kp, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * Kp * Up * 128 // 3,   # ~1/3 tiles active
+            bytes_accessed=(2 * 4 + N * 2) * Rp * Up + 4 * Rp * Kp * N,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(act, code_lo, code_hi, payload)
+    return out[:R, :num_bins]
+
+
+def crossing_bin_sum_reference(code_lo, code_hi, payload, num_bins: int,
+                               chunk: int = 128):
+    """Pure-JAX oracle: same contraction, materialized one-hot, chunked
+    over bins. For tests and CPU-sized problems."""
+    R, U = code_lo.shape
+    Kp = round_up(num_bins, chunk)
+    payload = payload.astype(jnp.float32)
+
+    def one_chunk(k0):
+        k = k0 + jnp.arange(chunk, dtype=jnp.float32)
+        oh = ((code_lo[:, None, :] <= k[None, :, None])
+              & (code_hi[:, None, :] > k[None, :, None]))
+        return jnp.einsum("rku,run->rkn", oh.astype(jnp.float32), payload)
+
+    outs = jax.lax.map(one_chunk,
+                       jnp.arange(0, Kp, chunk, dtype=jnp.float32))
+    out = jnp.moveaxis(outs, 0, 1).reshape(R, Kp, payload.shape[-1])
+    return out[:, :num_bins]
+
+
+@partial(jax.jit, static_argnames=("num_bins", "interp", "use_kernel"))
+def crossing_interp(code, valid, channels, num_bins: int,
+                    interp: tuple, dmin: float = 0.125, dmax: float = 4.0,
+                    use_kernel: bool = True, pair_gate=None):
+    """Invert a per-row monotone code sequence onto the integer bin grid.
+
+    code (R, U) f32; valid (R, U) bool; channels (C, R, U) f32 values to
+    carry to the crossings; interp: per-channel, linear interpolation at
+    the crossing vs left-endpoint value. A pair (u, u+1) contributes only
+    when both pixels are valid and the code step d is in (dmin, dmax):
+    the lower gate keeps 1/d bounded (interpolation precision), the upper
+    gate drops silhouette/occlusion jumps whose "crossings" interpolate
+    across two different surfaces.
+
+    ``pair_gate`` (R, U-1) bool optionally vetoes pairs beyond the code
+    gates — e.g. continuity of a CARRIED channel. A pair can step
+    smoothly in the binned code yet jump in a carried quantity (a
+    shallow silhouette whose depth jump maps to < dmax code bins but
+    many pixels of disparity); interpolating across it would bridge two
+    surfaces with phantom points no downstream gate can see.
+
+    Returns (cnt (R, K), vals (C, R, K)): crossings found per bin and
+    the channel values linearly interpolated there (averaged if a noisy
+    wiggle yields several crossings; 0 where cnt == 0).
+    """
+    code = code.astype(jnp.float32)
+    cl = code[:, :-1]
+    ch = code[:, 1:]
+    d = ch - cl
+    pv = (valid[:, :-1] & valid[:, 1:] & (d > dmin) & (d < dmax))
+    if pair_gate is not None:
+        pv = pv & pair_gate
+    payload, unpack = build_payload(
+        pv, cl, channels[:, :, :-1], channels[:, :, 1:], d, interp)
+    cl = jnp.where(pv, cl, -1.0)
+    ch = jnp.where(pv, ch, -1.0)
+    if use_kernel:
+        out = crossing_bin_sum(cl, ch, payload, num_bins)
+    else:
+        out = crossing_bin_sum_reference(cl, ch, payload, num_bins)
+    kgrid = jnp.arange(num_bins, dtype=jnp.float32)[None, :]
+    cnt, vals = unpack(out, kgrid)
+    return cnt, jnp.stack(vals)

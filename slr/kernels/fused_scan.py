@@ -45,6 +45,7 @@ class FusedScanOut(NamedTuple):
     mask: jnp.ndarray      # (H, W) f32 0/1 validity
     quality: jnp.ndarray   # (H, W) phase modulation B
     x_p: jnp.ndarray       # (H, W) decoded sub-pixel projector column
+    y_p: jnp.ndarray       # (H, W) decoded projector row (0 if not coded)
 
 
 def _undistort(xd, yd, k1, k2, p1, p2, k3, iters):
@@ -77,10 +78,10 @@ def _gray_decode_block(ld, first: int, bits: int, tau_white, certain):
 
 
 def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
-            *, bits: int, row_bits: int, steps: int, row_steps: int,
-            tile_h: int, undistort_iters: int, scale: float,
-            tau_black, tau_white, tau_mod,
-            mf_pitches: tuple = ()):
+            yp_ref, *, bits: int, row_bits: int, steps: int,
+            row_steps: int, tile_h: int, undistort_iters: int,
+            scale: float, tau_black, tau_white, tau_mod,
+            mf_pitches: tuple = (), decode_only: bool = False):
     # Frame loaders. Integer (8-bit camera) stacks read 1 byte/px from
     # HBM; all comparisons (Gray bits, contrast/certainty thresholds)
     # stay in the INTEGER domain — the int->f32 convert is VPU-bound and
@@ -102,19 +103,8 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
 
         rawf = raw
     p = params_ref
-    fx, fy, cx, cy = p[0, 3], p[0, 4], p[0, 5], p[0, 6]
-    k1, k2, p1, p2, k3 = p[0, 7], p[0, 8], p[0, 9], p[0, 10], p[0, 11]
-    pfx, pfy, pcx, pcy = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
-    q1, q2, s1, s2, q3 = p[0, 16], p[0, 17], p[0, 18], p[0, 19], p[0, 20]
-    # projector world->proj rotation R (row major) and centre C_p (world)
-    R00, R01, R02 = p[0, 21], p[0, 22], p[0, 23]
-    R10, R11, R12 = p[0, 24], p[0, 25], p[0, 26]
-    R20, R21, R22 = p[0, 27], p[0, 28], p[0, 29]
-    Cx, Cy, Cz = p[0, 30], p[0, 31], p[0, 32]
     pitch = p[0, 33]
     row_pitch = p[0, 34]
-    zmin, zmax = p[0, 35], p[0, 36]
-    row_off = p[0, 37]   # global row of this block's first row (sharding)
 
     white = raw(0)
     black = raw(1)
@@ -160,12 +150,49 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
             tau_white=tau_white, tau_mod=tau_mod, scale=scale,
             pitch=pitch, row_pitch=row_pitch)
 
+    _triangulate_write(p, x_p, y_p, mask, modulation,
+                       pts_ref, mask_ref, qual_ref, xp_ref, yp_ref,
+                       row_bits=row_bits, tile_h=tile_h,
+                       undistort_iters=undistort_iters,
+                       decode_only=decode_only)
+
+
+def _triangulate_write(p, x_p, y_p, mask, modulation,
+                       pts_ref, mask_ref, qual_ref, xp_ref, yp_ref, *,
+                       row_bits: int, tile_h: int, undistort_iters: int,
+                       decode_only: bool = False):
+    """Camera-ray construction + plane/midpoint triangulation + output
+    writes — the tail shared by the single-exposure and HDR kernels.
+    ``decode_only`` skips the ray math and emits points = 0 (the
+    two-camera merge path wants only the code maps — its geometry never
+    touches the projector model)."""
+    if decode_only:
+        fmask = mask.astype(jnp.float32)
+        pts_ref[0] = jnp.zeros_like(fmask)
+        pts_ref[1] = jnp.zeros_like(fmask)
+        pts_ref[2] = jnp.zeros_like(fmask)
+        mask_ref[:] = fmask
+        qual_ref[:] = modulation
+        xp_ref[:] = x_p
+        yp_ref[:] = (jnp.zeros_like(x_p) if y_p is None else y_p)
+        return
+    fx, fy, cx, cy = p[0, 3], p[0, 4], p[0, 5], p[0, 6]
+    k1, k2, p1, p2, k3 = p[0, 7], p[0, 8], p[0, 9], p[0, 10], p[0, 11]
+    pfx, pfy, pcx, pcy = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
+    q1, q2, s1, s2, q3 = p[0, 16], p[0, 17], p[0, 18], p[0, 19], p[0, 20]
+    R00, R01, R02 = p[0, 21], p[0, 22], p[0, 23]
+    R10, R11, R12 = p[0, 24], p[0, 25], p[0, 26]
+    R20, R21, R22 = p[0, 27], p[0, 28], p[0, 29]
+    Cx, Cy, Cz = p[0, 30], p[0, 31], p[0, 32]
+    zmin, zmax = p[0, 35], p[0, 36]
+    row_off = p[0, 37]
+
     # --- camera ray (undistort); unnormalized d1 = (xn, yn, 1) so the
     # ray parameter equals camera depth z ---
     i_tile = pl.program_id(0)
     # tpu.iota only produces integers; cast to f32 after
-    rows = jax.lax.broadcasted_iota(jnp.int32, white.shape, 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, white.shape, 1).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, x_p.shape, 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x_p.shape, 1).astype(jnp.float32)
     v_pix = rows + i_tile * tile_h + row_off
     u_pix = cols
     xn, yn = _undistort((u_pix - cx) / fx, (v_pix - cy) / fy,
@@ -219,13 +246,18 @@ def _kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
 
 def _gray_phase_decode(raw, rawf, certain, contrast, *, bits, row_bits,
                        steps, row_steps, tau_white, tau_mod, scale,
-                       pitch, row_pitch):
+                       pitch, row_pitch, SC=None, SC_row=None):
     """Gray(+inverse) decode + N-step phase + cyclic half-shifted unwrap —
     the reference coding scheme. ``raw``/``rawf`` load frames in raw
     (unnormalized) units — integer for integer stacks, so the Gray
     comparisons never touch the VPU int->f32 converter; only the phase
     frames go through ``rawf``. Returns (x_p, y_p, mask, modulation),
-    modulation rescaled to normalized units."""
+    modulation rescaled to normalized units.
+
+    ``SC`` / ``SC_row`` optionally inject precomputed phase sin/cos sums
+    (raw units) — the HDR kernel computes them per exposure for its
+    selection score and the chosen exposure's sums are reused here
+    instead of a second pass over the frames."""
     shape = contrast.shape
     b, certain = _gray_decode_block(raw, 2, bits, tau_white, certain)
 
@@ -238,14 +270,17 @@ def _gray_phase_decode(raw, rawf, certain, contrast, *, bits, row_bits,
 
     # --- N-step phase (or Gray-only half-stripe centres when steps==0) ---
     if steps:
-        S = jnp.zeros(shape, jnp.float32)
-        C = jnp.zeros(shape, jnp.float32)
-        base = 2 + 2 * bits + 2 * row_bits
-        for k in range(steps):
-            d = TWO_PI * k / steps
-            fk = rawf(base + k)
-            S = S + fk * math.sin(d)
-            C = C + fk * math.cos(d)
+        if SC is not None:
+            S, C = SC
+        else:
+            S = jnp.zeros(shape, jnp.float32)
+            C = jnp.zeros(shape, jnp.float32)
+            base = 2 + 2 * bits + 2 * row_bits
+            for k in range(steps):
+                d = TWO_PI * k / steps
+                fk = rawf(base + k)
+                S = S + fk * math.sin(d)
+                C = C + fk * math.cos(d)
         phi = _atan2(S, C)
         phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
         modulation = (2.0 / steps) * jnp.sqrt(S * S + C * C)  # raw units
@@ -273,14 +308,17 @@ def _gray_phase_decode(raw, rawf, certain, contrast, *, bits, row_bits,
     y_p = None
     if row_bits:
         if row_steps:
-            base_r = 2 + 2 * bits + 2 * row_bits + steps
-            Sr = jnp.zeros(shape, jnp.float32)
-            Cr = jnp.zeros(shape, jnp.float32)
-            for k in range(row_steps):
-                d = TWO_PI * k / row_steps
-                fk = rawf(base_r + k)
-                Sr = Sr + fk * math.sin(d)
-                Cr = Cr + fk * math.cos(d)
+            if SC_row is not None:
+                Sr, Cr = SC_row
+            else:
+                base_r = 2 + 2 * bits + 2 * row_bits + steps
+                Sr = jnp.zeros(shape, jnp.float32)
+                Cr = jnp.zeros(shape, jnp.float32)
+                for k in range(row_steps):
+                    d = TWO_PI * k / row_steps
+                    fk = rawf(base_r + k)
+                    Sr = Sr + fk * math.sin(d)
+                    Cr = Cr + fk * math.cos(d)
             rphi = _atan2(Sr, Cr)
             rphi = jnp.where(rphi < 0.0, rphi + TWO_PI, rphi)
             rmod = (2.0 / row_steps) * jnp.sqrt(Sr * Sr + Cr * Cr)
@@ -298,8 +336,47 @@ def _gray_phase_decode(raw, rawf, certain, contrast, *, bits, row_bits,
     return x_p, y_p, mask, modulation
 
 
+def _pack_params(cam, proj, cfg, dec, z_bounds, row_offset):
+    """SMEM parameter row shared by the single-exposure and HDR kernels."""
+    row_pitch = (
+        cfg.proj_height / (1 << cfg.row_gray_bits) if cfg.row_gray_bits
+        else 0.0
+    )
+    return jnp.concatenate(
+        [
+            jnp.asarray(
+                [dec.black_threshold, dec.white_threshold,
+                 dec.modulation_threshold], jnp.float32
+            ),
+            jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]),
+            cam.dist,
+            jnp.stack([proj.fx, proj.fy, proj.cx, proj.cy]),
+            proj.dist,
+            proj.R.reshape(-1),
+            proj.center,
+            jnp.asarray([cfg.fringe_pitch, row_pitch], jnp.float32),
+            jnp.asarray(z_bounds, jnp.float32),
+            jnp.asarray(row_offset, jnp.float32).reshape(1),
+        ]
+    ).reshape(1, -1)
+
+
+def _raw_thresholds(dtype, bit_depth, dec):
+    """(scale, in_bytes, tau_black, tau_white, tau_mod) in RAW units."""
+    if jnp.issubdtype(dtype, jnp.integer):
+        m = ((1 << bit_depth) - 1 if bit_depth is not None
+             else jnp.iinfo(dtype).max)
+        return (1.0 / float(m), dtype.itemsize,
+                int(round(dec.black_threshold * m)),
+                int(round(dec.white_threshold * m)),
+                dec.modulation_threshold * m)
+    return (1.0, 4, dec.black_threshold, dec.white_threshold,
+            dec.modulation_threshold)
+
+
 @partial(jax.jit, static_argnames=("cfg", "dec", "z_bounds", "tile_h",
-                                   "undistort_iters", "bit_depth"))
+                                   "undistort_iters", "bit_depth",
+                                   "decode_only"))
 def fused_decode_triangulate(
     frames,                  # (F, H, W) f32 captured stack
     cam: Camera,
@@ -311,6 +388,7 @@ def fused_decode_triangulate(
     undistort_iters: int = 8,
     bit_depth: int | None = None,
     row_offset=0.0,          # global row of frames[…,0,:] (pixel-tile shards)
+    decode_only: bool = False,
 ) -> FusedScanOut:
     """One-pass scan reconstruction (requires inverse Gray patterns).
     phase_steps == 0 -> Gray-only half-stripe decode (config 1);
@@ -350,26 +428,11 @@ def fused_decode_triangulate(
     if (Wp, Hp) != (W, H):
         frames = jnp.pad(frames, ((0, 0), (0, Hp - H), (0, Wp - W)))
 
-    row_pitch = (
-        cfg.proj_height / (1 << cfg.row_gray_bits) if cfg.row_gray_bits else 0.0
-    )
-    params = jnp.concatenate(
-        [
-            jnp.asarray(
-                [dec.black_threshold, dec.white_threshold,
-                 dec.modulation_threshold], jnp.float32
-            ),
-            jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]),
-            cam.dist,
-            jnp.stack([proj.fx, proj.fy, proj.cx, proj.cy]),
-            proj.dist,
-            proj.R.reshape(-1),
-            proj.center,
-            jnp.asarray([cfg.fringe_pitch, row_pitch], jnp.float32),
-            jnp.asarray(z_bounds, jnp.float32),
-            jnp.asarray(row_offset, jnp.float32).reshape(1),
-        ]
-    ).reshape(1, -1)
+    if proj is None:
+        assert decode_only, "a projector model is required to triangulate"
+        proj = cam._replace(R=jnp.eye(3, dtype=jnp.float32),
+                            t=jnp.zeros(3, jnp.float32))
+    params = _pack_params(cam, proj, cfg, dec, z_bounds, row_offset)
 
     kern = partial(
         _kernel,
@@ -384,10 +447,12 @@ def fused_decode_triangulate(
         tau_white=tau_white_k,
         tau_mod=tau_mod_k,
         mf_pitches=cfg.mf_pitches if multifreq else (),
+        decode_only=decode_only,
     )
     grid = (Hp // tile_h,)
     out_shape = (
         jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
@@ -403,7 +468,7 @@ def fused_decode_triangulate(
             + 6 * (cfg.phase_steps + cfg.row_phase_steps)
             + 14 * undistort_iters * (2 if cfg.row_gray_bits else 1)
         )
-    pts, mask, qual, xp = pl.pallas_call(
+    pts, mask, qual, xp, yp = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -414,6 +479,8 @@ def fused_decode_triangulate(
         ],
         out_specs=(
             pl.BlockSpec((3, tile_h, Wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -436,4 +503,197 @@ def fused_decode_triangulate(
         mask = mask[:H, :W]
         qual = qual[:H, :W]
         xp = xp[:H, :W]
-    return FusedScanOut(points=pts, mask=mask, quality=qual, x_p=xp)
+        yp = yp[:H, :W]
+    return FusedScanOut(points=pts, mask=mask, quality=qual, x_p=xp,
+                        y_p=yp)
+
+
+def _hdr_kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
+                yp_ref, *, E: int, bits: int, row_bits: int, steps: int,
+                row_steps: int, tile_h: int, undistort_iters: int,
+                scale: float, tau_black, tau_white, tau_mod, tau_sat):
+    """Exposure-bracketed fused decode (VERDICT r3 next #5): the (E, F)
+    frame block is read from HBM ONCE; per-exposure phase modulation is
+    computed in VMEM, the best valid unsaturated exposure selected per
+    pixel, and the standard Gray+phase decode+triangulate runs a single
+    time on the selected frames — instead of E dense pure-JAX decodes +
+    a gather (slr.codec.exposure). Selection semantics mirror
+    decode_multi_exposure: score = modulation where (contrast above
+    tau_black AND white below saturation), else -1."""
+    if scale != 1.0:
+        def raw_e(e, i):
+            return f_ref[e, i].astype(jnp.int32)
+
+        def rawf_e(e, i):
+            return f_ref[e, i].astype(jnp.int32).astype(jnp.float32)
+    else:
+        def raw_e(e, i):
+            return f_ref[e, i]
+
+        rawf_e = raw_e
+    p = params_ref
+    pitch = p[0, 33]
+    row_pitch = p[0, 34]
+
+    base = 2 + 2 * bits + 2 * row_bits
+    best = None
+    best_score = None
+    Ss, Cs, Srs, Crs = [], [], [], []
+    for e in range(E):
+        S = jnp.zeros(f_ref.shape[2:], jnp.float32)
+        C = jnp.zeros(f_ref.shape[2:], jnp.float32)
+        for k in range(steps):
+            d = TWO_PI * k / steps
+            fk = rawf_e(e, base + k)
+            S = S + fk * math.sin(d)
+            C = C + fk * math.cos(d)
+        B = (2.0 / steps) * jnp.sqrt(S * S + C * C)      # raw units
+        white = raw_e(e, 0)
+        usable = ((white - raw_e(e, 1)) > tau_black) & (white < tau_sat)
+        score = jnp.where(usable, B, -1.0)
+        if best is None:
+            best = jnp.zeros(S.shape, jnp.int32)
+            best_score = score
+        else:
+            upd = score > best_score
+            best = jnp.where(upd, e, best)
+            best_score = jnp.where(upd, score, best_score)
+        Ss.append(S)
+        Cs.append(C)
+        if row_steps:
+            base_r = base + steps
+            Sr = jnp.zeros(S.shape, jnp.float32)
+            Cr = jnp.zeros(S.shape, jnp.float32)
+            for k in range(row_steps):
+                d = TWO_PI * k / row_steps
+                fk = rawf_e(e, base_r + k)
+                Sr = Sr + fk * math.sin(d)
+                Cr = Cr + fk * math.cos(d)
+            Srs.append(Sr)
+            Crs.append(Cr)
+
+    def sel(vals):
+        out = vals[0]
+        for e in range(1, E):
+            out = jnp.where(best == e, vals[e], out)
+        return out
+
+    def raw_sel(i):
+        return sel([raw_e(e, i) for e in range(E)])
+
+    certain = best_score >= 0.0        # at least one usable exposure
+    contrast = raw_sel(0) - raw_sel(1)
+    x_p, y_p, mask, modulation = _gray_phase_decode(
+        raw_sel, None, certain, contrast,
+        bits=bits, row_bits=row_bits, steps=steps, row_steps=row_steps,
+        tau_white=tau_white, tau_mod=tau_mod, scale=scale,
+        pitch=pitch, row_pitch=row_pitch,
+        SC=(sel(Ss), sel(Cs)),
+        SC_row=(sel(Srs), sel(Crs)) if row_steps else None)
+
+    _triangulate_write(p, x_p, y_p, mask, modulation,
+                       pts_ref, mask_ref, qual_ref, xp_ref, yp_ref,
+                       row_bits=row_bits, tile_h=tile_h,
+                       undistort_iters=undistort_iters)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dec", "saturation", "z_bounds",
+                                   "tile_h", "undistort_iters",
+                                   "bit_depth"))
+def fused_decode_triangulate_hdr(
+    stacks,                  # (E, F, H, W) exposure-bracketed stacks
+    cam: Camera,
+    proj: Camera,
+    cfg: PatternConfig,
+    dec: DecodeConfig,
+    saturation: float = 0.98,
+    z_bounds=(1.0, 1e4),
+    tile_h: int = 32,
+    undistort_iters: int = 8,
+    bit_depth: int | None = None,
+    row_offset=0.0,
+) -> FusedScanOut:
+    """HDR variant of the one-pass scan reconstruction: a bracket of E
+    captures costs E reads of the frame bytes in ONE kernel (uint8 path:
+    E bytes/px/frame of HBM traffic) rather than E full pure-JAX decode
+    passes plus a selection gather. gray_phase coding only."""
+    assert cfg.coding == "gray_phase" and cfg.use_inverse
+    assert cfg.phase_steps > 0, "HDR selection needs phase modulation"
+    E, F, H, W = stacks.shape
+    assert F == cfg.num_frames, (F, cfg.num_frames)
+    scale, in_bytes, tau_black_k, tau_white_k, tau_mod_k = _raw_thresholds(
+        stacks.dtype, bit_depth, dec)
+    if scale != 1.0:
+        m = int(round(1.0 / scale))
+        tau_sat_k = int(round(saturation * m))
+    else:
+        tau_sat_k = saturation
+
+    Wp = round_up(W, 128)
+    Hp = round_up(H, tile_h)
+    if (Wp, Hp) != (W, H):
+        stacks = jnp.pad(stacks, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+
+    params = _pack_params(cam, proj, cfg, dec, z_bounds, row_offset)
+    kern = partial(
+        _hdr_kernel,
+        E=E,
+        bits=cfg.gray_bits,
+        row_bits=cfg.row_gray_bits,
+        steps=cfg.phase_steps,
+        row_steps=cfg.row_phase_steps,
+        tile_h=tile_h,
+        undistort_iters=undistort_iters,
+        scale=scale,
+        tau_black=tau_black_k,
+        tau_white=tau_white_k,
+        tau_mod=tau_mod_k,
+        tau_sat=tau_sat_k,
+    )
+    grid = (Hp // tile_h,)
+    pts, mask, qual, xp, yp = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((E, F, tile_h, Wp), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile_h, Wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(40 + 6 * E * (cfg.phase_steps + cfg.row_phase_steps)
+                   + 4 * (cfg.gray_bits + cfg.row_gray_bits)
+                   + 14 * undistort_iters) * Hp * Wp,
+            bytes_accessed=(E * F * in_bytes + 6 * 4) * Hp * Wp,
+            transcendentals=3 * Hp * Wp,
+        ),
+        interpret=use_interpret(),
+    )(params, stacks)
+
+    if (Wp, Hp) != (W, H):
+        pts = pts[:, :H, :W]
+        mask = mask[:H, :W]
+        qual = qual[:H, :W]
+        xp = xp[:H, :W]
+        yp = yp[:H, :W]
+    return FusedScanOut(points=pts, mask=mask, quality=qual, x_p=xp,
+                        y_p=yp)

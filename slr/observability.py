@@ -102,3 +102,62 @@ def trace(logdir: str = "/tmp/slr_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+# ---- communicated-bytes accounting (VERDICT r3 next #3) -------------------
+#
+# On a 1-chip rig the only honest multi-host scaling argument is (measured
+# on-chip compute time) vs (exactly-known communicated bytes) over the
+# interconnect: every collective in the engine moves a statically-known
+# volume per iteration, so per-stage efficiency projects as
+#   eff(N) = t_compute / (t_compute + t_comm(N) + n_coll * latency).
+# These helpers compute the volumes from shapes; benchmarks/scaling_r4.py
+# combines them with the measured matrix rows into scaling_r4.jsonl, and
+# BASELINE.md's scaling section quotes that artifact.
+
+ICI_GBPS = 180.0    # v5e per-link ICI, one direction (2D torus, 4 links)
+DCN_GBPS = 25.0     # conservative per-host data-center network
+
+
+def comm_halo_bytes(width: int, halo: int, dtype_bytes: int = 4,
+                    n_arrays: int = 1, iters: int = 1) -> int:
+    """Bytes ppermuted PER DEVICE per sharded-unwrap call: two ring
+    sends (up+down) of ``halo`` rows per array per iteration
+    (slr/dist/halo.py + slr/dist/sharded.py)."""
+    return 2 * halo * width * dtype_bytes * n_arrays * iters
+
+
+def comm_schur_bytes(n_poses: int, iters: int = 1) -> int:
+    """Bytes psummed per device per distributed-BA solve: the reduced
+    (6S x 6S) pose system + rhs + 2 scalars, once per GN iteration
+    (slr/dist/ba.py:205-208). A psum over N devices moves ~2x the
+    payload per device (reduce-scatter + all-gather)."""
+    s = 6 * n_poses
+    return (s * s + s + 2) * 4 * 2 * iters
+
+
+def comm_batched_icp_bytes(n_edges_local: int, iters: int = 1) -> int:
+    """The map_block-sharded registration round communicates nothing
+    per edge (edges are block-local); only the final pose table is
+    allgathered: 12 floats per edge."""
+    return n_edges_local * 12 * 4 * iters
+
+
+def scaling_projection(compute_ms: float, comm_bytes_per_dev: int,
+                       n_collectives: int, gbps: float,
+                       latency_us: float = 1.0) -> dict:
+    """Projected parallel efficiency of one stage: compute time is
+    measured on the real chip, comm time = exact volume / interconnect
+    bandwidth + per-collective latency. Returns the full accounting so
+    the artifact is auditable."""
+    t_comm_ms = (comm_bytes_per_dev / (gbps * 1e9)) * 1e3 \
+        + n_collectives * latency_us * 1e-3
+    eff = compute_ms / (compute_ms + t_comm_ms)
+    return {
+        "compute_ms": compute_ms,
+        "comm_bytes_per_dev": int(comm_bytes_per_dev),
+        "n_collectives": n_collectives,
+        "interconnect_gbps": gbps,
+        "comm_ms": t_comm_ms,
+        "efficiency": eff,
+    }

@@ -46,7 +46,13 @@ def _solve_point_to_plane(src, tgt, nrm, w):
     return xi, e
 
 
-@partial(jax.jit, static_argnames=("iters", "nn_tile"))
+# above this many query*target pairs the exact tiled-matmul NN's
+# quadratic wall (2.4 ms @16k^2 -> ~37 ms @64k^2 on the v5e) loses to the
+# voxel-hash lookup; SURVEY.md section 9 "NN search without KD-trees"
+_EXACT_NN_MAX_PAIRS = 24_000 ** 2
+
+
+@partial(jax.jit, static_argnames=("iters", "nn_tile", "nn_method"))
 def icp_point_to_plane(
     src,                     # (N,3) source points
     tgt,                     # (M,3) target points
@@ -58,18 +64,47 @@ def icp_point_to_plane(
     iters: int = 20,
     max_corr_dist: float = 10.0,
     nn_tile: int = 2048,
+    nn_method: str = "auto",
 ) -> ICPResult:
+    """``nn_method``: "exact" = tiled-matmul brute force; "voxel" =
+    static voxel-hash 27-neighbourhood lookup (exact whenever the true
+    NN is within max_corr_dist, since the voxel edge equals that
+    distance); "auto" picks voxel above ~24k^2 source*target pairs where
+    the quadratic exact path loses (VERDICT r3 next #6)."""
     N = src.shape[0]
+    M = tgt.shape[0]
+    if nn_method == "auto":
+        nn_method = "voxel" if N * M > _EXACT_NN_MAX_PAIRS else "exact"
     if src_valid is None:
         src_valid = jnp.ones((N,), bool)
     R0 = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
     t0 = jnp.zeros(3, jnp.float32) if t0 is None else t0
     max_d2 = max_corr_dist * max_corr_dist
 
+    if nn_method == "voxel":
+        from slr.registration.voxel import build_voxel_hash, voxel_hash_nn
+
+        tv = (jnp.ones((M,), bool) if tgt_valid is None else tgt_valid)
+        # voxel edge = correspondence radius: any target within
+        # max_corr_dist lies in the query's 27-neighbourhood, so the
+        # search REGION matches the exact path's gate. Buckets keep the
+        # first ``bucket_cap`` points per voxel, so in clouds denser
+        # than ~8 points per max_corr_dist^3 the match is a near-NN from
+        # the bucket sample rather than the true NN — point-to-plane GN
+        # only needs a valid surface correspondence, and the pose-parity
+        # test (tests/test_registration.py) holds it to the exact path
+        table, row_ids, lo = build_voxel_hash(tgt, tv, max_corr_dist)
+
     def body(carry, _):
         R, t = carry
         moved = src @ R.T + t
-        idx, d2 = nearest_neighbors(moved, tgt, tgt_valid, tile=nn_tile)
+        if nn_method == "voxel":
+            idx, d2 = voxel_hash_nn(moved, tgt, table, row_ids, lo,
+                                    max_corr_dist)
+            idx = jnp.maximum(idx, 0)   # -1 misses carry d2=inf (gated)
+        else:
+            idx, d2 = nearest_neighbors(moved, tgt, tgt_valid,
+                                        tile=nn_tile)
         q = tgt[idx]
         n = tgt_normals[idx]
         w = (src_valid & (d2 < max_d2)).astype(jnp.float32)

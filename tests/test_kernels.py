@@ -300,3 +300,145 @@ def test_fused_kernel_multifreq():
     err = np.linalg.norm(pts - np.asarray(scan.points_true), axis=-1)[valid]
     rms = float(np.sqrt((err ** 2).mean()))
     assert rms < 0.5, rms
+
+
+def test_crossing_interp_matches_brute_force():
+    """The monotone-crossing MXU primitive (two-camera merge core): both
+    the Pallas kernel and the one-hot reference must reproduce a brute-
+    force per-row crossing search exactly, including masked gaps and
+    occlusion jumps (VERDICT r3 next #1)."""
+    from slr.kernels.crossing import crossing_interp
+
+    rng = np.random.default_rng(0)
+    R, U, K = 16, 256, 128
+    base = np.cumsum(rng.uniform(0.4, 1.2, (R, U)), axis=1) * 0.55
+    base += rng.normal(0, 0.01, (R, U))
+    code = base.astype(np.float32)
+    valid = np.ones((R, U), bool)
+    valid[:, 60:80] = False                 # shadow gap
+    code[:, 160:] += 30.0                   # 30-bin occlusion jump
+    chan_u = np.broadcast_to(
+        np.arange(U, dtype=np.float32), (R, U)).copy()
+    chan_q = rng.uniform(0.5, 1.0, (R, U)).astype(np.float32)
+    channels = jnp.stack([jnp.asarray(chan_u), jnp.asarray(chan_q)])
+
+    outs = {}
+    for use_kernel in (False, True):
+        cnt, vals = crossing_interp(
+            jnp.asarray(code), jnp.asarray(valid), channels, K,
+            interp=(True, False), use_kernel=use_kernel)
+        outs[use_kernel] = (np.asarray(cnt), np.asarray(vals))
+
+    cnt, vals = outs[True]
+    n_checked = 0
+    for r in range(0, R, 3):
+        for k in range(K):
+            xs = []
+            for u in range(U - 1):
+                if not (valid[r, u] and valid[r, u + 1]):
+                    continue
+                d = code[r, u + 1] - code[r, u]
+                if not (0.125 < d < 4.0):
+                    continue
+                if code[r, u] <= k < code[r, u + 1]:
+                    xs.append(u + (k - code[r, u]) / d)
+            assert len(xs) == round(cnt[r, k]), (r, k, len(xs), cnt[r, k])
+            if xs:
+                assert abs(np.mean(xs) - vals[0, r, k]) < 1e-3
+                n_checked += 1
+    assert n_checked > 200
+    # kernel vs reference agree to f32 roundoff
+    np.testing.assert_allclose(outs[True][1], outs[False][1], atol=1e-4)
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+
+
+def test_wavefront_pallas_matches_pure_jax():
+    """VMEM wavefront scan vs the associative-scan oracle
+    (slr.codec.unwrap.quality_guided_unwrap) — same monoid, 3-field
+    compression, must agree to fp roundoff (VERDICT r3 next #2)."""
+    from slr.codec.unwrap import quality_guided_unwrap, quality_guided_repair
+    from slr.kernels.wavefront import (
+        wavefront_unwrap_pallas, wavefront_repair_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    H, W = 96, 160
+    Phi = np.linspace(0, 40, W)[None, :] + 0.1 * rng.normal(size=(H, W))
+    bad = np.zeros((H, W), bool)
+    bad[rng.integers(1, H - 1, 60), rng.integers(1, W - 1, 60)] = True
+    bad[30:36, 40:48] = True                # multi-pixel blob
+    q = jnp.asarray(np.where(bad, 0.05, 1.0).astype(np.float32))
+    Phi_n = jnp.asarray(
+        np.where(bad, Phi + 2 * np.pi * 3, Phi).astype(np.float32))
+    mask = jnp.ones((H, W), bool)
+
+    ref, reached_ref = quality_guided_unwrap(
+        jnp.mod(Phi_n, 2 * np.pi), q, mask, levels=4, rounds_per_level=2)
+    out, reached = wavefront_unwrap_pallas(
+        jnp.mod(Phi_n, 2 * np.pi), q, mask, levels=4, rounds_per_level=2)
+    assert (np.asarray(reached) == np.asarray(reached_ref)).all()
+    both = np.asarray(reached) & np.asarray(reached_ref)
+    assert np.abs(np.asarray(out) - np.asarray(ref))[both].max() < 1e-4
+
+    ref2 = quality_guided_repair(Phi_n, q, mask, levels=4,
+                                 rounds_per_level=2)
+    out2 = wavefront_repair_pallas(Phi_n, q, mask, levels=4,
+                                   rounds_per_level=2)
+    assert np.abs(np.asarray(out2) - np.asarray(ref2)).max() < 1e-4
+
+    # the light repair defaults (8 directional passes) still fix the blob
+    out3 = wavefront_repair_pallas(Phi_n, q, mask)
+    assert np.abs(np.asarray(out3) - Phi).max() < 1e-3
+
+
+def test_hdr_fused_kernel_parity():
+    """fused_decode_triangulate_hdr vs the pure-JAX bracket fusion
+    (decode_multi_exposure): same selection idea — best valid unsaturated
+    modulation — computed in ONE kernel pass. Selection scores differ
+    only in which validity gates they apply (the kernel gates on
+    contrast+saturation, the pure path on the full decode mask), so we
+    assert near-total mask agreement and code equality where both
+    decode (VERDICT r3 next #5)."""
+    from slr.codec import decode_multi_exposure
+    from slr.kernels.fused_scan import fused_decode_triangulate_hdr
+    from slr.synth.render import quantize_frames
+
+    from slr.synth import checker_albedo
+
+    cam, proj = default_rig(cam_w=CAM_W, cam_h=CAM_H, proj_w=256,
+                            proj_h=192)
+    cfg = PatternConfig(proj_width=256, proj_height=192, gray_bits=5,
+                        phase_steps=4)
+    depth = bumps_depth(CAM_H, CAM_W, base=480.0, amp=25.0)
+    # the textbook HDR scene: albedo spans 25x, so dark cells need the
+    # long exposure (which clips the bright cells) and vice versa
+    albedo = checker_albedo(CAM_H, CAM_W, cells=6, lo=0.035, hi=0.75)
+    scan = render_scan(cam, proj, depth, cfg, noise_std=0.003,
+                       key=jax.random.PRNGKey(5), albedo=albedo)
+    bracket = jnp.stack([
+        jnp.clip(scan.frames * g, 0.0, 1.0) for g in (1.0, 10.0)
+    ])
+    bracket_u8 = quantize_frames(bracket)
+
+    dec = DecodeConfig()
+    ref = decode_multi_exposure(bracket_u8, cfg, dec)
+    out = fused_decode_triangulate_hdr(bracket_u8, cam, proj, cfg, dec)
+
+    m_k = np.asarray(out.mask) > 0.5
+    m_r = np.asarray(ref.mask)
+    assert (m_k ^ m_r).mean() < 0.02, (m_k.sum(), m_r.sum())
+    both = m_k & m_r
+    xerr = np.abs(np.asarray(out.x_p) - np.asarray(ref.x_p))[both]
+    # where the two paths picked different exposures the codes still
+    # agree to a fraction of a projector px; identical picks are exact
+    assert np.percentile(xerr, 99) < 0.1, np.percentile(xerr, 99)
+
+    # the bracket must widen coverage over the BEST single exposure
+    best_single = 0
+    for g in (1.0, 10.0):
+        single = fused_decode_triangulate(
+            quantize_frames(jnp.clip(scan.frames * g, 0, 1)), cam, proj,
+            cfg, dec)
+        best_single = max(best_single,
+                          (np.asarray(single.mask) > 0.5).sum())
+    assert m_k.sum() > 1.3 * best_single, (m_k.sum(), best_single)
