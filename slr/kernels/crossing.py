@@ -14,7 +14,7 @@ TPU-first formulation: a crossing of bin k at pair (u, u+1) is the
 indicator  onehot[k, u] = (code_lo[u] <= k) & (code_hi[u] > k),
 and every "find + interpolate" becomes ONE matmul per row:
 
-    out[k, n] = sum_u onehot[k, u] * payload[u, n]
+    out[n, k] = sum_u payload[n, u] * onehot[k, u]
 
 with payload channels carrying the interpolation coefficients. Linear
 interpolation at the crossing is EXACT through the matmul because the
@@ -32,16 +32,17 @@ precision run as ONE MXU pass with bf16-rounded operands and f32
 accumulation. So payload channels are split into three f32-stored,
 bf16-REPRESENTABLE terms (x = h1+h2+h3 exactly) — the in-MXU rounding
 is then the identity and the contraction is f32-exact — while the
-one-hot comparisons stay full-precision f32 on the VPU. The N dimension
-pads to a 128 lane anyway, so split channels are free.
+one-hot comparisons stay full-precision f32 on the VPU. The channel
+dimension pads to an MXU tile anyway, so split channels are free.
 
-The kernel can tile the pair axis into row-units and skip (row-unit,
-bin-tile) combinations whose code ranges don't overlap via a
-precomputed SMEM activity table — but the on-chip sweep showed the
-grid-step overhead of small tiles outweighs the skipped MXU work at
-production shapes, so the defaults contract full rows with 512-bin
-tiles (1.86 ms vs 5.4 ms per 1024x1280->1024-bin pass); the skip path
-engages only for cameras wider than _UTILE pairs.
+Layout law (probe_merge_perf5/8): every array that crosses the pallas
+boundary keeps the PAIR axis innermost — payload (R, N, U), output
+(R, N, K). Materializing channel-innermost (R, U, N) tensors makes XLA
+emit 2-byte-strided stores (16 ms for 42 MB vs 1.4 ms row-granular) and
+pads VMEM lanes 16->128; the matching kernel contraction is the NT-form
+dot (contract the lane axes of payload and one-hot), which Mosaic
+lowers at full MXU speed (2.46 ms/pass pipeline vs 8.5 ms for the
+NN-form + interleaved operand).
 """
 
 from __future__ import annotations
@@ -55,10 +56,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slr.kernels.common import round_up, use_interpret
 
-# Tile defaults from the on-chip sweep (benchmarks/probe_merge_perf*.py):
-# large bin tiles + NO pair tiling win — grid-step overhead beats the
-# skip-table savings at production shapes (1.86 ms vs 5.4 ms per pass).
-# The u-tile machinery stays for cameras wider than _UTILE pairs.
+# Tile defaults from the on-chip sweep: large bin tiles, no pair tiling
+# (grid-step overhead beats skip-table savings at production shapes).
+# The u-tile + SMEM activity-table machinery engages only for cameras
+# wider than _UTILE pairs.
 _UTILE = 2048       # pairs per row-unit (>= row width = no u-tiling)
 _KTILE = 512        # bins per grid tile
 _RT = 8             # rows per grid block
@@ -68,10 +69,10 @@ def _round_bf16(x):
     """Round f32 to the nearest bf16-representable value WITHOUT using
     the bf16 dtype: XLA:TPU's excess-precision rule elides lossy
     f32->bf16->f32 convert pairs inside a fused computation, which
-    silently destroyed the split (the r3->r4 debug story: CPU exact,
-    TPU 2.3 mm RMS with identical code). Integer bit math cannot be
-    elided. Round-to-nearest-even on the dropped 16 mantissa bits;
-    finite inputs only."""
+    silently destroyed the split (the r4 debug story: CPU exact, TPU
+    2.3 mm RMS with identical code). Integer bit math cannot be elided.
+    Round-to-nearest-even on the dropped 16 mantissa bits; finite
+    inputs only."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
     r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1)))
     r = r & jnp.uint32(0xFFFF0000)
@@ -93,8 +94,9 @@ def build_payload(pair_valid, code_lo, channels_lo, channels_hi, d,
     then per input channel either (a, b) x 3 split terms (linear
     interpolation) or one nearest-value term (low precision fine).
 
-    Returns (payload (R, U, N) bf16 storage, unpack) where
-    unpack(out_f32 (..., N), kgrid) -> (cnt, [vals...]).
+    Returns (payload (R, N, U) bf16 — channel axis SECOND, pair axis
+    innermost, see module docstring — and unpack) where
+    unpack(out_f32 (R, N, K), kgrid) -> (cnt, [vals...]).
     """
     pv = pair_valid.astype(jnp.float32)
     terms = [pv]
@@ -112,30 +114,30 @@ def build_payload(pair_valid, code_lo, channels_lo, channels_hi, d,
             i0 = len(terms)
             terms.append(jnp.where(pair_valid, channels_lo[c], 0.0))
             layout.append(("nearest", i0))
-    payload = jnp.stack(terms, axis=-1).astype(jnp.bfloat16)
-    N = round_up(payload.shape[-1], 8)
-    if payload.shape[-1] != N:
+    payload = jnp.stack(terms, axis=1).astype(jnp.bfloat16)  # (R, N, U)
+    N = round_up(payload.shape[1], 8)
+    if payload.shape[1] != N:
         payload = jnp.pad(payload,
-                          ((0, 0), (0, 0), (0, N - payload.shape[-1])))
+                          ((0, 0), (0, N - payload.shape[1]), (0, 0)))
 
     def unpack(out, kgrid):
-        cnt = out[..., 0]
+        cnt = out[:, 0, :]
         safe = jnp.maximum(cnt, 1e-9)
         vals = []
         for kind, i0 in layout:
             if kind == "interp":
-                A = out[..., i0] + out[..., i0 + 1] + out[..., i0 + 2]
-                B = out[..., i0 + 3] + out[..., i0 + 4] + out[..., i0 + 5]
+                A = out[:, i0, :] + out[:, i0 + 1, :] + out[:, i0 + 2, :]
+                B = out[:, i0 + 3, :] + out[:, i0 + 4, :] + out[:, i0 + 5, :]
                 vals.append((A + kgrid * B) / safe)
             else:
-                vals.append(out[..., i0] / safe)
+                vals.append(out[:, i0, :] / safe)
         return cnt, vals
 
     return payload, unpack
 
 
 def _kernel(act_ref, cl_ref, ch_ref, pay_ref, out_ref, *, rt: int,
-            n_blocks_r: int, utile: int, ktile: int):
+            utile: int, ktile: int):
     kt = pl.program_id(1)
     t = pl.program_id(2)
 
@@ -152,15 +154,15 @@ def _kernel(act_ref, cl_ref, ch_ref, pay_ref, out_ref, *, rt: int,
         def row(r, acc):
             cl = cl_ref[pl.ds(r, 1), :]                    # (1, UT)
             ch = ch_ref[pl.ds(r, 1), :]
-            p = pay_ref[pl.ds(r, 1), :, :][0].astype(jnp.float32)
+            p = pay_ref[pl.ds(r, 1), :, :][0].astype(jnp.float32)  # (N,UT)
             kio = jax.lax.broadcasted_iota(
                 jnp.int32, (ktile, utile), 0)
             kv = k0 + kio.astype(jnp.float32)
             oh = ((cl <= kv) & (ch > kv)).astype(jnp.float32)
             acc_o = jax.lax.dot_general(
-                oh, p, (((1,), (0,)), ((), ())),
+                p, oh, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32)        # (N, KT)
             out_ref[pl.ds(r, 1), :, :] += acc_o[None]
             return acc
 
@@ -171,16 +173,16 @@ def _kernel(act_ref, cl_ref, ch_ref, pay_ref, out_ref, *, rt: int,
 def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
                      utile: int = _UTILE, ktile: int = _KTILE,
                      rt: int = _RT):
-    """out[r, k, n] = sum_u [code_lo[r,u] <= k < code_hi[r,u]] payload[r,u,n]
+    """out[r, n, k] = sum_u [code_lo[r,u] <= k < code_hi[r,u]] payload[r,n,u]
     for integer bins k in [0, num_bins). Invalid pairs must arrive with
     code_lo == code_hi (never fire) and zero payload.
 
-    code_lo/hi (R, U) f32; payload (R, U, N) bf16-storage (values are
-    what the MXU sees — see module docstring). Output (R, num_bins, N)
+    code_lo/hi (R, U) f32; payload (R, N, U) bf16-storage (values are
+    what the MXU sees — see module docstring). Output (R, N, num_bins)
     f32, exact for bf16-representable payloads.
     """
     R, U = code_lo.shape
-    N = payload.shape[-1]
+    N = payload.shape[1]
     utile = min(utile, round_up(U, 128))
     Kp = round_up(num_bins, ktile)
     Up = round_up(U, utile)
@@ -191,16 +193,15 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
                           constant_values=-1.0)
         code_hi = jnp.pad(code_hi, ((0, pr), (0, pu)),
                           constant_values=-1.0)
-        payload = jnp.pad(payload, ((0, pr), (0, pu), (0, 0)))
+        payload = jnp.pad(payload, ((0, pr), (0, 0), (0, pu)))
     T = Up // utile
     nbr = Rp // rt
 
     # activity table (nbr, T, Ktiles): a (row-block, u-tile, bin-tile)
     # combination is active iff any of its rows' [min cl, max ch) ranges
-    # overlaps the tile's bin range. Invalid pairs have cl == ch and can
-    # never fire, but they would poison the range, so mask them out of
-    # the min/max. The u-tiling itself happens in the BlockSpec index
-    # maps — no data movement.
+    # overlaps the tile's bin range; invalid zero-width pairs are masked
+    # out of the min/max. The u-tiling itself happens in the BlockSpec
+    # index maps — no data movement.
     firing = code_hi > code_lo
     cmin = jnp.where(firing, code_lo, jnp.float32(3e38)).reshape(
         nbr, rt, T, utile).min(axis=(1, 3))
@@ -211,7 +212,7 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
            & (cmax[..., None] > klo)).astype(jnp.int32)
 
     out = pl.pallas_call(
-        partial(_kernel, rt=rt, n_blocks_r=nbr, utile=utile, ktile=ktile),
+        partial(_kernel, rt=rt, utile=utile, ktile=ktile),
         grid=(nbr, Kp // ktile, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -219,21 +220,21 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, utile), lambda r, k, t: (r, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, utile, N),
-                         lambda r, k, t: (r, t, 0),
+            pl.BlockSpec((rt, N, utile),
+                         lambda r, k, t: (r, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rt, ktile, N), lambda r, k, t: (r, k, 0),
+        out_specs=pl.BlockSpec((rt, N, ktile), lambda r, k, t: (r, 0, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, Kp, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Rp, N, Kp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Rp * Kp * Up * 128 // 3,   # ~1/3 tiles active
+            flops=2 * Rp * Kp * Up * 128,
             bytes_accessed=(2 * 4 + N * 2) * Rp * Up + 4 * Rp * Kp * N,
             transcendentals=0,
         ),
         interpret=use_interpret(),
     )(act, code_lo, code_hi, payload)
-    return out[:R, :num_bins]
+    return out[:R, :, :num_bins]
 
 
 def crossing_bin_sum_reference(code_lo, code_hi, payload, num_bins: int,
@@ -248,12 +249,12 @@ def crossing_bin_sum_reference(code_lo, code_hi, payload, num_bins: int,
         k = k0 + jnp.arange(chunk, dtype=jnp.float32)
         oh = ((code_lo[:, None, :] <= k[None, :, None])
               & (code_hi[:, None, :] > k[None, :, None]))
-        return jnp.einsum("rku,run->rkn", oh.astype(jnp.float32), payload)
+        return jnp.einsum("rku,rnu->rnk", oh.astype(jnp.float32), payload)
 
     outs = jax.lax.map(one_chunk,
                        jnp.arange(0, Kp, chunk, dtype=jnp.float32))
-    out = jnp.moveaxis(outs, 0, 1).reshape(R, Kp, payload.shape[-1])
-    return out[:, :num_bins]
+    out = jnp.moveaxis(outs, 0, 2).reshape(R, payload.shape[1], Kp)
+    return out[:, :, :num_bins]
 
 
 @partial(jax.jit, static_argnames=("num_bins", "interp", "use_kernel"))
