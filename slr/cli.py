@@ -258,10 +258,22 @@ def cmd_stereo_demo(args):
                                  cast_shadows=True))
     sess.add_scan(scans[0].frames, frames2=scans[1].frames)
     cloud = sess.reconstruct(0)
-    valid = np.asarray(cloud.mask) & np.asarray(scans[0].mask_true)
-    err = np.linalg.norm(
-        np.asarray(cloud.points) - np.asarray(scans[0].points_true),
-        axis=-1)[valid]
+    # the merge method organizes the cloud on the PROJECTOR grid; the
+    # projector is a Camera, so ground truth is the scene depth from its
+    # viewpoint (first surface hit along each projector ray)
+    from slr.geom.camera import pixel_to_ray
+    import jax.numpy as jnp
+
+    depth_p = spheres_scene(proj, cfg.proj_height, cfg.proj_width)
+    vg, ug = jnp.meshgrid(
+        jnp.arange(cfg.proj_height, dtype=jnp.float32),
+        jnp.arange(cfg.proj_width, dtype=jnp.float32), indexing="ij")
+    o_p, d_p = pixel_to_ray(proj, ug, vg)
+    dz = jnp.einsum("j,...j->...", proj.R[2], d_p)
+    pts_true = np.asarray(o_p + (depth_p / dz)[..., None] * d_p)
+    valid = np.asarray(cloud.mask)
+    err = np.linalg.norm(np.asarray(cloud.points) - pts_true,
+                         axis=-1)[valid]
     rms = float(np.sqrt(np.mean(err ** 2))) if err.size else float("nan")
     out = Path(args.out) / "stereo.ply"
     write_ply(out, cloud.points.reshape(-1, 3),
