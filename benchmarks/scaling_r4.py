@@ -71,22 +71,29 @@ def projections():
         t1 = scan["ms_per_scan"] + unwrap["ms"]
         iters, W = 8, 1280
         vol = comm_halo_bytes(W, halo=1, n_arrays=3, iters=iters)
-        for gbps, net in ((ICI_GBPS, "ici"), (DCN_GBPS, "dcn")):
+        # per-collective launch latency: ~1 us on ICI, ~50 us for a
+        # cross-host DCN collective (conservative figures; both recorded
+        # in the artifact rows)
+        for gbps, lat, net in ((ICI_GBPS, 1.0, "ici"),
+                               (DCN_GBPS, 50.0, "dcn")):
             for n in (2, 4, 8):
-                pr = scaling_projection(t1 / n, vol, 2 * 3 * iters, gbps)
+                pr = scaling_projection(t1 / n, vol, 2 * 3 * iters, gbps,
+                                        latency_us=lat)
                 emit("proj_pixel_tile_scan", n_devices=n, network=net,
-                     t1_ms=t1, **pr)
+                     t1_ms=t1, latency_us=lat, **pr)
 
     # ---- distributed Schur BA ----
     ba = rows.get("schur_ba_S6_L4096_10iter")
     if ba:
         iters, S = 10, 6
         vol = comm_schur_bytes(S, iters=iters)
-        for gbps, net in ((ICI_GBPS, "ici"), (DCN_GBPS, "dcn")):
+        for gbps, lat, net in ((ICI_GBPS, 1.0, "ici"),
+                               (DCN_GBPS, 50.0, "dcn")):
             for n in (2, 4, 8):
-                pr = scaling_projection(ba["ms"] / n, vol, 4 * iters, gbps)
+                pr = scaling_projection(ba["ms"] / n, vol, 4 * iters,
+                                        gbps, latency_us=lat)
                 emit("proj_schur_ba", n_devices=n, network=net,
-                     t1_ms=ba["ms"], **pr)
+                     t1_ms=ba["ms"], latency_us=lat, **pr)
 
     # ---- DP scan batch: zero cross-device traffic ----
     if scan:

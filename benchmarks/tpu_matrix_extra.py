@@ -1,0 +1,127 @@
+"""Targeted re-runs appended to the r4 matrix artifact, using the SAME
+harness (emit/device_ms imported from tpu_matrix):
+
+- two_camera_search / two_camera_splat: the r4 sweep's standard block
+  hit a transient relay compile failure ("response body closed") on the
+  search graph; this re-runs the identical code path.
+- icp_64k_exact_sampled: the production large-N ICP shape on TPU —
+  exact MXU NN with the standard source subsampling — after
+  icp_64k_voxel_15iter measured 4.8 s (random access is near-serial on
+  TPU; the quadratic matmul wins).
+"""
+
+import traceback
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from benchmarks.tpu_matrix import device_ms, emit, rms_vs_truth
+from slr.config import PatternConfig, ReconstructConfig
+from slr.geom.se3 import so3_exp
+from slr.registration import icp_point_to_plane
+from slr.synth import spheres_scene, two_camera_rig
+from slr.synth.render import render_scan
+
+
+def two_camera_retry():
+    from slr.pipeline import reconstruct_two_camera
+
+    H2, W2 = 1024, 1280
+    cfg2 = PatternConfig(proj_width=1024, proj_height=768, gray_bits=7,
+                         row_gray_bits=6, phase_steps=4,
+                         row_phase_steps=4)
+    c1, c2, prj = two_camera_rig(cam_w=W2, cam_h=H2, proj_w=1024,
+                                 proj_h=768)
+    scans2 = []
+    for i, c in enumerate((c1, c2)):
+        d2 = spheres_scene(c, H2, W2)
+        scans2.append(render_scan(c, prj, d2, cfg2, noise_std=0.003,
+                                  key=jax.random.PRNGKey(20 + i),
+                                  cast_shadows=True))
+    sa, sb = scans2
+    rec2 = ReconstructConfig(min_depth=300.0, max_depth=900.0)
+
+    # K=17 search chains now fault the device reliably (UNAVAILABLE,
+    # r3 saw this intermittently); 5 is the stable ceiling
+    for meth, K_hi in (("search", 5), ("splat", 3)):
+        try:
+            cl = jax.block_until_ready(jax.jit(
+                lambda a, b, meth=meth: reconstruct_two_camera(
+                    a, b, c1, c2, cfg2, rec=rec2, method=meth))(
+                sa.frames, sb.frames))
+            rms2, n2 = rms_vs_truth(
+                jnp.moveaxis(cl.points, -1, 0), cl.mask, sa)
+
+            def tc_step(f, meth=meth):
+                o = reconstruct_two_camera(f, sb.frames, c1, c2, cfg2,
+                                           rec=rec2, method=meth)
+                return o.points[0, 0, 0], f.at[0, 0, 0].add(
+                    o.points[0, 0, 0] * 1e-30)
+
+            ms, tok = device_ms(tc_step, sa.frames, K_hi=K_hi)
+            emit(f"two_camera_{meth}", ms_per_scan=round(ms, 4),
+                 rms_mm=round(rms2, 4), valid_points=n2,
+                 points_per_s=round(n2 / (ms / 1e3)),
+                 ok=bool(rms2 < 0.5) and tok, timing_ok=tok,
+                 timing="device_chained_loop")
+        except Exception:
+            emit(f"two_camera_{meth}",
+                 error=traceback.format_exc()[-1000:])
+
+
+def icp_64k_exact_sampled():
+    try:
+        rng = np.random.default_rng(3)
+        n = 65536
+        xy = rng.uniform(-150, 150, (n, 2))
+        z = (500 + 20 * np.sin(xy[:, 0] / 25.0) * np.cos(xy[:, 1] / 30.0)
+             + 8 * np.sin(xy[:, 1] / 12.0))
+        src_np = np.column_stack([xy, z]).astype(np.float32)
+        src = jnp.asarray(src_np)
+        R_true = so3_exp(jnp.asarray([0.01, -0.02, 0.015], jnp.float32))
+        t_true = jnp.asarray([3.0, -2.0, 4.0], jnp.float32)
+        tgt = src @ R_true.T + t_true
+        gx = (20 * np.cos(src_np[:, 0] / 25.0) / 25.0
+              * np.cos(src_np[:, 1] / 30.0))
+        gy = (-20 * np.sin(src_np[:, 0] / 25.0)
+              * np.sin(src_np[:, 1] / 30.0) / 30.0
+              + 8 * np.cos(src_np[:, 1] / 12.0) / 12.0)
+        n0 = np.column_stack([-gx, -gy, np.ones_like(gx)])
+        n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+        n_tgt = jnp.asarray(n0, jnp.float32) @ R_true.T
+        sub = jnp.asarray(rng.choice(n, 8192, replace=False))
+        src_s = src[sub]
+
+        def run(s):
+            return icp_point_to_plane(s, tgt, n_tgt, iters=15,
+                                      max_corr_dist=15.0,
+                                      nn_method="exact", nn_tile=2048)
+
+        res = jax.block_until_ready(jax.jit(run)(src_s))
+
+        def step(s):
+            r = run(s)
+            return r.rms, s.at[0, 0].add(r.rms * 1e-30)
+
+        ms, tok = device_ms(step, src_s, K_hi=5)
+        rerr = float(jnp.abs(res.R - R_true).max())
+        terr = float(jnp.abs(res.t - t_true).max())
+        emit("icp_64k_exact_sampled_15iter", ms=round(ms, 3),
+             R_err=rerr, t_err=terr, rms=float(res.rms),
+             src_sampled=8192, tgt=65536,
+             ok=bool(rerr < 5e-3 and terr < 0.5) and tok, timing_ok=tok,
+             timing="device_chained_loop")
+    except Exception:
+        emit("icp_64k_exact_sampled_15iter",
+             error=traceback.format_exc()[-1000:])
+
+
+if __name__ == "__main__":
+    import sys
+
+    print("devices:", jax.devices(), flush=True)
+    if "--two-camera-only" not in sys.argv:
+        icp_64k_exact_sampled()
+    two_camera_retry()
+    emit("extra_done")

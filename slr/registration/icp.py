@@ -46,9 +46,12 @@ def _solve_point_to_plane(src, tgt, nrm, w):
     return xi, e
 
 
-# above this many query*target pairs the exact tiled-matmul NN's
-# quadratic wall (2.4 ms @16k^2 -> ~37 ms @64k^2 on the v5e) loses to the
-# voxel-hash lookup; SURVEY.md section 9 "NN search without KD-trees"
+# On CPU the voxel-hash lookup beats the exact tiled-matmul NN above
+# this many query*target pairs. On TPU it does NOT — the hash lookup is
+# searchsorted+gathers, and TPU executes random access near-serially:
+# measured 4.8 s for 15 ICP iterations at 64k (tpu_matrix_r4
+# icp_64k_voxel_15iter) vs ~0.5 s for the quadratic MXU brute force.
+# The TPU-first rule: a 4096x denser matmul beats pointer chasing.
 _EXACT_NN_MAX_PAIRS = 24_000 ** 2
 
 
@@ -69,12 +72,20 @@ def icp_point_to_plane(
     """``nn_method``: "exact" = tiled-matmul brute force; "voxel" =
     static voxel-hash 27-neighbourhood lookup (exact whenever the true
     NN is within max_corr_dist, since the voxel edge equals that
-    distance); "auto" picks voxel above ~24k^2 source*target pairs where
-    the quadratic exact path loses (VERDICT r3 next #6)."""
+    distance); "auto" picks voxel above ~24k^2 source*target pairs ON
+    CPU ONLY — on TPU the exact MXU path wins at every size measured
+    (random-access gathers are near-serial there; see
+    _EXACT_NN_MAX_PAIRS note). For very large N on TPU, subsample the
+    SOURCE (standard ICP practice, RegistrationConfig.icp_sample_points)
+    rather than switching NN structure."""
+    import jax as _jax
+
     N = src.shape[0]
     M = tgt.shape[0]
     if nn_method == "auto":
-        nn_method = "voxel" if N * M > _EXACT_NN_MAX_PAIRS else "exact"
+        on_cpu = _jax.default_backend() == "cpu"
+        nn_method = ("voxel" if on_cpu and N * M > _EXACT_NN_MAX_PAIRS
+                     else "exact")
     if src_valid is None:
         src_valid = jnp.ones((N,), bool)
     R0 = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
