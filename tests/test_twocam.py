@@ -259,3 +259,41 @@ def test_two_camera_search_matches_splat():
     d = np.linalg.norm(
         np.asarray(a.points) - np.asarray(b.points), axis=-1)[both]
     assert np.percentile(d, 95) < 0.5, np.percentile(d, 95)
+
+
+def test_invert_to_projector_flip_axes():
+    """Mirrored rigs: flip_u / flip_v must make descending code maps
+    invertible, returning camera coordinates in the FLIPPED image frame
+    (u' = W-1-u, v' = H-1-v) — what ray lookup into the captured
+    mirrored image needs."""
+    from slr.pipeline.twocam import invert_to_projector
+
+    H, W, PW, PH = 64, 96, 64, 48
+    v, u = np.meshgrid(np.arange(H, dtype=np.float32),
+                       np.arange(W, dtype=np.float32), indexing="ij")
+    x_p = 0.6 * u + 2.0 + 0.01 * v
+    y_p = 0.7 * v + 1.0 + 0.005 * u
+    mask = jnp.ones((H, W), bool)
+    q = jnp.ones((H, W), jnp.float32)
+    w = jnp.ones((H, W), jnp.float32)
+
+    base = invert_to_projector(jnp.asarray(x_p), jnp.asarray(y_p), mask,
+                               q, w, PW, PH)
+    flip_u = invert_to_projector(jnp.asarray(x_p[:, ::-1]),
+                                 jnp.asarray(y_p[:, ::-1]), mask, q, w,
+                                 PW, PH, flip_u=True)
+    flip_v = invert_to_projector(jnp.asarray(x_p[::-1, :]),
+                                 jnp.asarray(y_p[::-1, :]), mask, q, w,
+                                 PW, PH, flip_v=True)
+    b_valid = np.asarray(base[0])
+    assert (b_valid == np.asarray(flip_u[0])).all()
+    assert (b_valid == np.asarray(flip_v[0])).all()
+    np.testing.assert_allclose(
+        (W - 1) - np.asarray(flip_u[1])[b_valid],
+        np.asarray(base[1])[b_valid], atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(flip_u[2])[b_valid], np.asarray(base[2])[b_valid],
+        atol=1e-3)
+    np.testing.assert_allclose(
+        (H - 1) - np.asarray(flip_v[2])[b_valid],
+        np.asarray(base[2])[b_valid], atol=1e-3)
