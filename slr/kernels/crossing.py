@@ -183,6 +183,9 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
     """
     R, U = code_lo.shape
     N = payload.shape[1]
+    assert payload.shape[0] == R and payload.shape[2] == U, (
+        "payload must be (R, N, U) — channel axis SECOND, pair axis "
+        f"innermost (got {payload.shape} for codes {code_lo.shape})")
     utile = min(utile, round_up(U, 128))
     Kp = round_up(num_bins, ktile)
     Up = round_up(U, utile)

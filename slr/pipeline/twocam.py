@@ -320,7 +320,6 @@ def invert_to_projector(x_p, y_p, mask, quality, white,
     from slr.kernels.crossing import crossing_interp
 
     H, W = x_p.shape
-    v_i = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     u_i = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     if flip_u:
         x_p, y_p, mask, quality, white, u_i = (
