@@ -61,7 +61,7 @@ from slr.kernels.common import round_up, use_interpret
 # The u-tile + SMEM activity-table machinery engages only for cameras
 # wider than _UTILE pairs.
 _UTILE = 2048       # pairs per row-unit (>= row width = no u-tiling)
-_KTILE = 512        # bins per grid tile
+_KTILE = 1024       # bins per grid tile
 _RT = 8             # rows per grid block
 
 
