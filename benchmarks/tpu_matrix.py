@@ -483,7 +483,8 @@ def main():
         for meth, K_hi in (("merge", 17), ("search", 17), ("splat", 3)):
             cl = jax.block_until_ready(jax.jit(
                 lambda a, b: reconstruct_two_camera(
-                    a, b, c1, c2, cfg2, rec=rec2, method=meth))(
+                    a, b, c1, c2, cfg2, rec=rec2, method=meth,
+                    unsafe_search=True))(
                 sa.frames, sb.frames))
             if meth == "merge":
                 m2 = np.asarray(cl.mask)
@@ -496,7 +497,8 @@ def main():
 
             def tc_step(f, meth=meth):
                 o = reconstruct_two_camera(f, sb.frames, c1, c2, cfg2,
-                                           rec=rec2, method=meth)
+                                           rec=rec2, method=meth,
+                                           unsafe_search=True)
                 return o.points[0, 0, 0], f.at[0, 0, 0].add(
                     o.points[0, 0, 0] * 1e-30)
 

@@ -48,14 +48,16 @@ def two_camera_retry():
         try:
             cl = jax.block_until_ready(jax.jit(
                 lambda a, b, meth=meth: reconstruct_two_camera(
-                    a, b, c1, c2, cfg2, rec=rec2, method=meth))(
+                    a, b, c1, c2, cfg2, rec=rec2, method=meth,
+                    unsafe_search=True))(
                 sa.frames, sb.frames))
             rms2, n2 = rms_vs_truth(
                 jnp.moveaxis(cl.points, -1, 0), cl.mask, sa)
 
             def tc_step(f, meth=meth):
                 o = reconstruct_two_camera(f, sb.frames, c1, c2, cfg2,
-                                           rec=rec2, method=meth)
+                                           rec=rec2, method=meth,
+                                           unsafe_search=True)
                 return o.points[0, 0, 0], f.at[0, 0, 0].add(
                     o.points[0, 0, 0] * 1e-30)
 

@@ -33,12 +33,24 @@ def peek_stage(path) -> dict:
 
     from numpy.lib import format as npformat
 
+    # dispatch on the magic version to the PUBLIC header readers
+    # (numpy's private _read_array_header changed signature across
+    # releases; ADVICE r4 #2)
+    readers = {
+        (1, 0): npformat.read_array_header_1_0,
+        (2, 0): npformat.read_array_header_2_0,
+    }
     out = {}
     with zipfile.ZipFile(path) as z:
         for n in z.namelist():
             with z.open(n) as f:
                 version = npformat.read_magic(f)
-                shape, _, _ = npformat._read_array_header(f, version)
+                reader = readers.get(version)
+                if reader is None:  # unknown format: pay the full load
+                    with z.open(n) as f2:
+                        shape = np.load(f2, allow_pickle=False).shape
+                else:
+                    shape, _, _ = reader(f)
                 out[n[:-4] if n.endswith(".npy") else n] = shape
     return out
 

@@ -56,13 +56,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slr.kernels.common import round_up, use_interpret
 
-# Tile defaults from the on-chip sweep: large bin tiles, no pair tiling
-# (grid-step overhead beats skip-table savings at production shapes).
-# The u-tile + SMEM activity-table machinery engages only for cameras
-# wider than _UTILE pairs.
-_UTILE = 2048       # pairs per row-unit (>= row width = no u-tiling)
-_KTILE = 1024       # bins per grid tile
+# Tile defaults from the on-chip sweeps (r4 + r5): one grid step per
+# row-block (grid-level k/u tiling re-fetched operand blocks per step and
+# lost to DMA traffic — the r4 finding), with SUB-tiling inside the
+# kernel instead: the payload block is tiny (~40 KB) and lives in VMEM
+# for the whole step, so (u-subtile x k-subtile) pairs can be skipped at
+# zero refetch cost. Because the code sequence is monotone-ish per row,
+# a u-subtile's crossings span a narrow contiguous bin band — most
+# subtile pairs are dead, and pruning them attacks the kernel's real
+# bottleneck: the one-hot matmul's N=16-channel LHS wastes 8x of the
+# 128-lane MXU, so every skipped (ksub x usub) rectangle saves full
+# MXU passes. The u-tile grid dimension engages only for cameras wider
+# than _UTILE pairs.
+_UTILE = 2560       # pairs per row-unit (>= row width = no u-tiling)
 _RT = 8             # rows per grid block
+_USUB = 256         # pair sub-tile (activity granularity)
+_KSUB = 256         # bin sub-tile (activity granularity)
 
 
 def _round_bf16(x):
@@ -137,57 +146,66 @@ def build_payload(pair_valid, code_lo, channels_lo, channels_hi, d,
 
 
 def _kernel(act_ref, cl_ref, ch_ref, pay_ref, out_ref, *, rt: int,
-            utile: int, ktile: int):
-    kt = pl.program_id(1)
-    t = pl.program_id(2)
+            utile: int, Kp: int, usub: int, ksub: int):
+    t = pl.program_id(1)
+    blk = pl.program_id(0)
+    n_usub = utile // usub
+    n_ksub = Kp // ksub
 
     @pl.when(t == 0)
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    act = act_ref[pl.program_id(0), t, kt]
+    for us in range(n_usub):
+        for ks in range(n_ksub):
+            @pl.when(act_ref[blk, t, us, ks] != 0)
+            def _compute(us=us, ks=ks):
+                k0 = jnp.float32(ks * ksub)
+                ulo, uhi = us * usub, (us + 1) * usub
+                klo, khi = ks * ksub, (ks + 1) * ksub
 
-    @pl.when(act != 0)
-    def _compute():
-        k0 = (kt * ktile).astype(jnp.float32)
+                def row(r, acc):
+                    cl = cl_ref[pl.ds(r, 1), ulo:uhi]      # (1, usub)
+                    ch = ch_ref[pl.ds(r, 1), ulo:uhi]
+                    p = pay_ref[pl.ds(r, 1), :, ulo:uhi][0].astype(
+                        jnp.float32)                       # (N, usub)
+                    kio = jax.lax.broadcasted_iota(
+                        jnp.int32, (ksub, usub), 0)
+                    kv = k0 + kio.astype(jnp.float32)
+                    oh = ((cl <= kv) & (ch > kv)).astype(jnp.float32)
+                    acc_o = jax.lax.dot_general(
+                        p, oh, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)  # (N, ksub)
+                    out_ref[pl.ds(r, 1), :, klo:khi] += acc_o[None]
+                    return acc
 
-        def row(r, acc):
-            cl = cl_ref[pl.ds(r, 1), :]                    # (1, UT)
-            ch = ch_ref[pl.ds(r, 1), :]
-            p = pay_ref[pl.ds(r, 1), :, :][0].astype(jnp.float32)  # (N,UT)
-            kio = jax.lax.broadcasted_iota(
-                jnp.int32, (ktile, utile), 0)
-            kv = k0 + kio.astype(jnp.float32)
-            oh = ((cl <= kv) & (ch > kv)).astype(jnp.float32)
-            acc_o = jax.lax.dot_general(
-                p, oh, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)        # (N, KT)
-            out_ref[pl.ds(r, 1), :, :] += acc_o[None]
-            return acc
-
-        jax.lax.fori_loop(0, rt, row, 0)
+                jax.lax.fori_loop(0, rt, row, 0)
 
 
-@partial(jax.jit, static_argnames=("num_bins", "utile", "ktile", "rt"))
+@partial(jax.jit, static_argnames=("num_bins", "utile", "rt", "usub",
+                                   "ksub"))
 def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
-                     utile: int = _UTILE, ktile: int = _KTILE,
-                     rt: int = _RT):
+                     utile: int = _UTILE, rt: int = _RT,
+                     usub: int = _USUB, ksub: int = _KSUB):
     """out[r, n, k] = sum_u [code_lo[r,u] <= k < code_hi[r,u]] payload[r,n,u]
     for integer bins k in [0, num_bins). Invalid pairs must arrive with
     code_lo == code_hi (never fire) and zero payload.
 
     code_lo/hi (R, U) f32; payload (R, N, U) bf16-storage (values are
     what the MXU sees — see module docstring). Output (R, N, num_bins)
-    f32, exact for bf16-representable payloads.
+    f32, exact for bf16-representable payloads. ``usub``/``ksub`` set
+    the in-kernel activity-pruning granularity (see _UTILE note above).
     """
     R, U = code_lo.shape
     N = payload.shape[1]
     assert payload.shape[0] == R and payload.shape[2] == U, (
         "payload must be (R, N, U) — channel axis SECOND, pair axis "
         f"innermost (got {payload.shape} for codes {code_lo.shape})")
-    utile = min(utile, round_up(U, 128))
-    Kp = round_up(num_bins, ktile)
+    usub = min(usub, round_up(U, 128))
+    utile = min(utile, round_up(U, usub))
+    utile = round_up(utile, usub)
+    Kp = round_up(num_bins, ksub)
     Up = round_up(U, utile)
     Rp = round_up(R, rt)
     if (Rp, Up) != (R, U):
@@ -199,39 +217,42 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
         payload = jnp.pad(payload, ((0, pr), (0, 0), (0, pu)))
     T = Up // utile
     nbr = Rp // rt
+    n_usub = utile // usub
+    n_ksub = Kp // ksub
 
-    # activity table (nbr, T, Ktiles): a (row-block, u-tile, bin-tile)
-    # combination is active iff any of its rows' [min cl, max ch) ranges
-    # overlaps the tile's bin range; invalid zero-width pairs are masked
-    # out of the min/max. The u-tiling itself happens in the BlockSpec
-    # index maps — no data movement.
+    # activity table (nbr, T, n_usub, n_ksub): a (row-block, u-subtile,
+    # bin-subtile) combination is active iff any of its rows' [min cl,
+    # max ch) ranges overlaps the subtile's bin range; invalid
+    # zero-width pairs are masked out of the min/max. Subtiling happens
+    # INSIDE the kernel (static loops + pl.when), so skipping costs no
+    # block refetch — the whole payload block stays in VMEM.
     firing = code_hi > code_lo
     cmin = jnp.where(firing, code_lo, jnp.float32(3e38)).reshape(
-        nbr, rt, T, utile).min(axis=(1, 3))
+        nbr, rt, T, n_usub, usub).min(axis=(1, 4))
     cmax = jnp.where(firing, code_hi, jnp.float32(-3e38)).reshape(
-        nbr, rt, T, utile).max(axis=(1, 3))
-    klo = jnp.arange(Kp // ktile, dtype=jnp.float32) * ktile
-    act = ((cmin[..., None] <= klo + (ktile - 1))
+        nbr, rt, T, n_usub, usub).max(axis=(1, 4))
+    klo = jnp.arange(n_ksub, dtype=jnp.float32) * ksub
+    act = ((cmin[..., None] <= klo + (ksub - 1))
            & (cmax[..., None] > klo)).astype(jnp.int32)
 
     out = pl.pallas_call(
-        partial(_kernel, rt=rt, utile=utile, ktile=ktile),
-        grid=(nbr, Kp // ktile, T),
+        partial(_kernel, rt=rt, utile=utile, Kp=Kp, usub=usub, ksub=ksub),
+        grid=(nbr, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((rt, utile), lambda r, k, t: (r, t),
+            pl.BlockSpec((rt, utile), lambda r, t: (r, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, utile), lambda r, k, t: (r, t),
+            pl.BlockSpec((rt, utile), lambda r, t: (r, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, N, utile),
-                         lambda r, k, t: (r, 0, t),
+                         lambda r, t: (r, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rt, N, ktile), lambda r, k, t: (r, 0, k),
+        out_specs=pl.BlockSpec((rt, N, Kp), lambda r, t: (r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, N, Kp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Rp * Kp * Up * 128,
+            flops=2 * Rp * Kp * Up * 32,
             bytes_accessed=(2 * 4 + N * 2) * Rp * Up + 4 * Rp * Kp * N,
             transcendentals=0,
         ),

@@ -242,6 +242,10 @@ def _triangulate_write(p, x_p, y_p, mask, modulation,
     mask_ref[:] = fmask
     qual_ref[:] = modulation
     xp_ref[:] = x_p
+    # documented semantics: decoded projector row, 0 if not coded (the
+    # triangulate branch previously left this output uninitialized —
+    # stale VMEM on TPU, NaN in interpret mode; ADVICE r4 #1)
+    yp_ref[:] = (jnp.zeros_like(x_p) if y_p is None else y_p)
 
 
 def _gray_phase_decode(raw, rawf, certain, contrast, *, bits, row_bits,
@@ -511,15 +515,25 @@ def fused_decode_triangulate(
 def _hdr_kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
                 yp_ref, *, E: int, bits: int, row_bits: int, steps: int,
                 row_steps: int, tile_h: int, undistort_iters: int,
-                scale: float, tau_black, tau_white, tau_mod, tau_sat):
+                scale: float, tau_black, tau_white, tau_mod, tau_sat,
+                fuse: str = "sum"):
     """Exposure-bracketed fused decode (VERDICT r3 next #5): the (E, F)
     frame block is read from HBM ONCE; per-exposure phase modulation is
-    computed in VMEM, the best valid unsaturated exposure selected per
-    pixel, and the standard Gray+phase decode+triangulate runs a single
-    time on the selected frames — instead of E dense pure-JAX decodes +
-    a gather (slr.codec.exposure). Selection semantics mirror
-    decode_multi_exposure: score = modulation where (contrast above
-    tau_black AND white below saturation), else -1."""
+    computed in VMEM, and the standard Gray+phase decode+triangulate
+    runs a single time — instead of E dense pure-JAX decodes + a gather
+    (slr.codec.exposure).
+
+    ``fuse="select"`` mirrors decode_multi_exposure: the best valid
+    unsaturated exposure (score = modulation where contrast above
+    tau_black AND white below saturation, else -1) supplies both the
+    Gray frames and the phase sums. ``fuse="sum"`` (default, VERDICT r4
+    next #5) still selects Gray bits that way (they are binary — one
+    clean exposure is all they need) but FUSES the phase: the sin/cos
+    sums of every usable exposure are added, i.e. each exposure's phase
+    vector B_e * e^(i*phi) enters with weight proportional to its own
+    modulation — exactly the inverse-variance weighting for equal
+    additive sensor noise per capture, so dark pixels seen by several
+    exposures get strictly more signal than any single pick."""
     if scale != 1.0:
         def raw_e(e, i):
             return f_ref[e, i].astype(jnp.int32)
@@ -539,6 +553,7 @@ def _hdr_kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
     best = None
     best_score = None
     Ss, Cs, Srs, Crs = [], [], [], []
+    usables, Bs = [], []
     for e in range(E):
         S = jnp.zeros(f_ref.shape[2:], jnp.float32)
         C = jnp.zeros(f_ref.shape[2:], jnp.float32)
@@ -550,6 +565,8 @@ def _hdr_kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
         B = (2.0 / steps) * jnp.sqrt(S * S + C * C)      # raw units
         white = raw_e(e, 0)
         usable = ((white - raw_e(e, 1)) > tau_black) & (white < tau_sat)
+        usables.append(usable)
+        Bs.append(B)
         score = jnp.where(usable, B, -1.0)
         if best is None:
             best = jnp.zeros(S.shape, jnp.int32)
@@ -578,18 +595,39 @@ def _hdr_kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
             out = jnp.where(best == e, vals[e], out)
         return out
 
+    # modulation-proportional weights over usable exposures, normalized
+    # by sum(B) so the fused modulation stays in single-exposure units
+    # (the tau_mod gate and the quality output keep their meaning).
+    # w_e ∝ B_e is the inverse-variance optimum for equal additive
+    # noise per capture: phase SNR becomes sqrt(sum B_e^2)/sigma, which
+    # is >= the best single exposure's B_max/sigma — always.
+    if fuse == "sum":
+        wts = [jnp.where(usables[e], Bs[e], 0.0) for e in range(E)]
+        wnorm = jnp.zeros(Bs[0].shape, jnp.float32)
+        for wv in wts:
+            wnorm = wnorm + wv
+        wnorm = jnp.maximum(wnorm, 1e-20)
+        wts = [wv / wnorm for wv in wts]
+
+    def usum(vals):
+        out = jnp.zeros(vals[0].shape, jnp.float32)
+        for e in range(E):
+            out = out + wts[e] * vals[e]
+        return out
+
     def raw_sel(i):
         return sel([raw_e(e, i) for e in range(E)])
 
     certain = best_score >= 0.0        # at least one usable exposure
     contrast = raw_sel(0) - raw_sel(1)
+    combine = usum if fuse == "sum" else sel
     x_p, y_p, mask, modulation = _gray_phase_decode(
         raw_sel, None, certain, contrast,
         bits=bits, row_bits=row_bits, steps=steps, row_steps=row_steps,
         tau_white=tau_white, tau_mod=tau_mod, scale=scale,
         pitch=pitch, row_pitch=row_pitch,
-        SC=(sel(Ss), sel(Cs)),
-        SC_row=(sel(Srs), sel(Crs)) if row_steps else None)
+        SC=(combine(Ss), combine(Cs)),
+        SC_row=(combine(Srs), combine(Crs)) if row_steps else None)
 
     _triangulate_write(p, x_p, y_p, mask, modulation,
                        pts_ref, mask_ref, qual_ref, xp_ref, yp_ref,
@@ -599,7 +637,7 @@ def _hdr_kernel(params_ref, f_ref, pts_ref, mask_ref, qual_ref, xp_ref,
 
 @partial(jax.jit, static_argnames=("cfg", "dec", "saturation", "z_bounds",
                                    "tile_h", "undistort_iters",
-                                   "bit_depth"))
+                                   "bit_depth", "fuse"))
 def fused_decode_triangulate_hdr(
     stacks,                  # (E, F, H, W) exposure-bracketed stacks
     cam: Camera,
@@ -612,11 +650,18 @@ def fused_decode_triangulate_hdr(
     undistort_iters: int = 8,
     bit_depth: int | None = None,
     row_offset=0.0,
+    fuse: str = "sum",
 ) -> FusedScanOut:
     """HDR variant of the one-pass scan reconstruction: a bracket of E
     captures costs E reads of the frame bytes in ONE kernel (uint8 path:
     E bytes/px/frame of HBM traffic) rather than E full pure-JAX decode
-    passes plus a selection gather. gray_phase coding only."""
+    passes plus a selection gather. gray_phase coding only.
+
+    ``fuse``: "sum" (default) variance-weights the phase sin/cos sums of
+    ALL usable exposures (strictly more signal per pixel — VERDICT r4
+    next #5); "select" reproduces decode_multi_exposure's best-single-
+    exposure pick (the parity oracle). Gray bits always come from the
+    best exposure — they are thresholded binary decisions."""
     assert cfg.coding == "gray_phase" and cfg.use_inverse
     assert cfg.phase_steps > 0, "HDR selection needs phase modulation"
     E, F, H, W = stacks.shape
@@ -649,6 +694,7 @@ def fused_decode_triangulate_hdr(
         tau_white=tau_white_k,
         tau_mod=tau_mod_k,
         tau_sat=tau_sat_k,
+        fuse=fuse,
     )
     grid = (Hp // tile_h,)
     pts, mask, qual, xp, yp = pl.pallas_call(

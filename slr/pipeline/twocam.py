@@ -394,7 +394,7 @@ def _bilinear(img, x, y):
                                    "min_weight", "max_resid", "code_tol",
                                    "edge_tol", "method", "search_iters",
                                    "flip_u", "flip_v", "merge_dmax",
-                                   "merge_kernel"))
+                                   "merge_kernel", "unsafe_search"))
 def reconstruct_two_camera(
     frames1,
     frames2,
@@ -414,6 +414,7 @@ def reconstruct_two_camera(
     flip_v: bool = False,
     merge_dmax: float = 2.5,
     merge_kernel: bool = True,
+    unsafe_search: bool = False,
 ) -> ScanCloud:
     """Decode both stacks, rendezvous in projector space, triangulate
     cam-1 x cam-2 rays. Projector calibration is NOT an input: only the two
@@ -506,6 +507,24 @@ def reconstruct_two_camera(
         return ScanCloud(points=pts, mask=mk, colors=m1[4],
                          quality=quality, x_p=xp_grid)
     if method == "search":
+        # Product-layer fence for a reproduced CHIP-KILLER (VERDICT r4
+        # next #6): chaining >= 17 copies of this graph in one dispatch
+        # faulted the v5e with a device-lost UNAVAILABLE error twice
+        # (benchmarks/repro_search_fault.py; tpu_matrix_r4.jsonl error
+        # rows). "search" is an oracle path — "merge" is both faster
+        # (7.4 vs 4026 ms/scan) and more accurate (0.005 vs 0.19 mm) —
+        # so on accelerators it requires an explicit opt-in rather than
+        # letting a user loop themselves into a device fault.
+        if not unsafe_search and jax.default_backend() not in ("cpu",):
+            raise ValueError(
+                "method='search' is an oracle path that can fault TPU "
+                "devices when dispatched repeatedly (>=17 chained graphs "
+                "reproduce a device-lost error; see BASELINE.md and "
+                "benchmarks/repro_search_fault.py). Use the default "
+                "method='merge' (faster and more accurate), or pass "
+                "unsafe_search=True to accept the risk — then keep "
+                "chains short (<= 5 calls per dispatch was stable)."
+            )
         u2, v2, _ = match_via_depth_search(
             r1.x_p, r1.y_p, r2.x_p, r2.mask & edge2, cam1, cam2,
             t_lo=rec.min_depth, t_hi=rec.max_depth, iters=search_iters)

@@ -16,6 +16,10 @@ from slr.registration.icp import icp_point_to_plane, ICPResult
 from slr.registration.features import fpfh_features, ransac_align
 from slr.registration.posegraph import pose_graph_optimize
 from slr.registration.voxel import voxel_downsample, build_voxel_hash, voxel_hash_nn
+from slr.registration.band import (
+    band_nearest_neighbors, band_nn_sorted, build_band_target,
+    suggest_b_max,
+)
 from slr.registration.projective import icp_projective
 from slr.registration.filters import (
     knn_mean_distance, statistical_outlier_removal, radius_outlier_removal,

@@ -55,13 +55,28 @@ def _solve_point_to_plane(src, tgt, nrm, w):
 _EXACT_NN_MAX_PAIRS = 24_000 ** 2
 
 
-@partial(jax.jit, static_argnames=("iters", "nn_tile", "nn_method"))
+def _resolve_nn_method(nn_method: str, N: int, M: int) -> str:
+    """Resolve "auto" OUTSIDE jit so the choice tracks the backend of
+    each call site rather than being baked into the first cached trace
+    (ADVICE r4 #3). CPU: voxel hash above the crossover. TPU: the exact
+    MXU path wins at every size measured up to ~24k^2 (gathers are
+    near-serial); above that the sorted-band MXU kernel prunes dead
+    tile pairs while staying gather-free."""
+    if nn_method != "auto":
+        return nn_method
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return "voxel" if N * M > _EXACT_NN_MAX_PAIRS else "exact"
+    return "band" if N * M > _EXACT_NN_MAX_PAIRS else "exact"
+
+
 def icp_point_to_plane(
-    src,                     # (N,3) source points
-    tgt,                     # (M,3) target points
-    tgt_normals,             # (M,3)
-    src_valid=None,          # (N,) bool
-    tgt_valid=None,          # (M,) bool
+    src,
+    tgt,
+    tgt_normals,
+    src_valid=None,
+    tgt_valid=None,
     R0=None,
     t0=None,
     iters: int = 20,
@@ -72,27 +87,77 @@ def icp_point_to_plane(
     """``nn_method``: "exact" = tiled-matmul brute force; "voxel" =
     static voxel-hash 27-neighbourhood lookup (exact whenever the true
     NN is within max_corr_dist, since the voxel edge equals that
-    distance); "auto" picks voxel above ~24k^2 source*target pairs ON
-    CPU ONLY — on TPU the exact MXU path wins at every size measured
-    (random-access gathers are near-serial there; see
-    _EXACT_NN_MAX_PAIRS note). For very large N on TPU, subsample the
-    SOURCE (standard ICP practice, RegistrationConfig.icp_sample_points)
-    rather than switching NN structure."""
-    import jax as _jax
+    distance); "band" = sorted-band MXU search (target sorted once
+    along its principal axis, tile pairs whose key intervals are
+    farther than max_corr_dist skipped — exact within max_corr_dist,
+    gather-free); "auto" picks per backend OUTSIDE jit: voxel above
+    ~24k^2 source*target pairs on CPU, band above the same crossover
+    on TPU, exact otherwise. Note that when this function is called
+    inside an outer jit, "auto" resolves against the trace-time default
+    backend."""
+    nn_method = _resolve_nn_method(
+        nn_method, int(src.shape[0]), int(tgt.shape[0]))
+    band_b_max = 0
+    if nn_method == "band":
+        from slr.registration.band import suggest_b_max
 
+        # static band cap measured from the actual geometry (one host
+        # sync per ICP call, amortized over all iterations)
+        band_b_max = suggest_b_max(src, tgt, max_corr_dist)
+    return _icp_point_to_plane(
+        src, tgt, tgt_normals, src_valid, tgt_valid, R0, t0,
+        iters=iters, max_corr_dist=max_corr_dist, nn_tile=nn_tile,
+        nn_method=nn_method, band_b_max=band_b_max)
+
+
+@partial(jax.jit, static_argnames=("iters", "nn_tile", "nn_method",
+                                   "band_b_max"))
+def _icp_point_to_plane(
+    src,                     # (N,3) source points
+    tgt,                     # (M,3) target points
+    tgt_normals,             # (M,3)
+    src_valid=None,          # (N,) bool
+    tgt_valid=None,          # (M,) bool
+    R0=None,
+    t0=None,
+    iters: int = 20,
+    max_corr_dist: float = 10.0,
+    nn_tile: int = 2048,
+    nn_method: str = "exact",
+    band_b_max: int = 0,
+) -> ICPResult:
     N = src.shape[0]
     M = tgt.shape[0]
-    if nn_method == "auto":
-        on_cpu = _jax.default_backend() == "cpu"
-        nn_method = ("voxel" if on_cpu and N * M > _EXACT_NN_MAX_PAIRS
-                     else "exact")
+    assert nn_method in ("exact", "voxel", "band"), nn_method
     if src_valid is None:
         src_valid = jnp.ones((N,), bool)
     R0 = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
     t0 = jnp.zeros(3, jnp.float32) if t0 is None else t0
     max_d2 = max_corr_dist * max_corr_dist
 
-    if nn_method == "voxel":
+    if nn_method == "band":
+        from slr.registration.band import (
+            band_nn_sorted, build_band_target, round_up, _BIG, _QT)
+
+        # Build once, reuse every iteration: sort the target (with its
+        # normals riding along) and PERMANENTLY sort the source by its
+        # initial moved key — the GN accumulation is order-invariant, so
+        # nothing ever needs unsorting, and no iteration gathers.
+        bt = build_band_target(tgt, tgt_normals, tgt_valid)
+        skey = (src @ R0.T + t0) @ bt.axis
+        skey = jnp.where(src_valid, skey, jnp.float32(1e38))
+        ops = jax.lax.sort(
+            [skey] + [src[:, i] for i in range(3)]
+            + [src_valid.astype(jnp.float32)], num_keys=1)
+        Np = round_up(N, _QT)
+        pad = Np - N
+        src = jnp.stack(
+            [jnp.pad(ops[1 + i], (0, pad), constant_values=_BIG)
+             for i in range(3)], axis=1)
+        src_valid = jnp.pad(ops[4], (0, pad)) > 0.5
+        nn_b_max = (band_b_max if band_b_max > 0
+                    else int(bt.tlo.shape[0]))
+    elif nn_method == "voxel":
         from slr.registration.voxel import build_voxel_hash, voxel_hash_nn
 
         tv = (jnp.ones((M,), bool) if tgt_valid is None else tgt_valid)
@@ -109,15 +174,21 @@ def icp_point_to_plane(
     def body(carry, _):
         R, t = carry
         moved = src @ R.T + t
-        if nn_method == "voxel":
-            idx, d2 = voxel_hash_nn(moved, tgt, table, row_ids, lo,
-                                    max_corr_dist)
-            idx = jnp.maximum(idx, 0)   # -1 misses carry d2=inf (gated)
+        if nn_method == "band":
+            # correspondence point + normal come straight out of the
+            # kernel's one-hot extraction — no tgt[idx] gather at all
+            d2, q, n, _ = band_nn_sorted(moved.T, src_valid, bt,
+                                         max_corr_dist, nn_b_max)
         else:
-            idx, d2 = nearest_neighbors(moved, tgt, tgt_valid,
-                                        tile=nn_tile)
-        q = tgt[idx]
-        n = tgt_normals[idx]
+            if nn_method == "voxel":
+                idx, d2 = voxel_hash_nn(moved, tgt, table, row_ids, lo,
+                                        max_corr_dist)
+                idx = jnp.maximum(idx, 0)  # -1 misses carry d2=inf (gated)
+            else:
+                idx, d2 = nearest_neighbors(moved, tgt, tgt_valid,
+                                            tile=nn_tile)
+            q = tgt[idx]
+            n = tgt_normals[idx]
         w = (src_valid & (d2 < max_d2)).astype(jnp.float32)
         # robust (Huber/IRLS) reweighting: grazing-incidence and edge
         # points carry amplified depth noise that biases the plain L2

@@ -182,6 +182,7 @@ def test_projector_corners_from_decode_accuracy():
     assert err.max() < 1.0, err.max()
 
 
+@pytest.mark.slow
 def test_calibrate_from_images_golden():
     """Golden end-to-end: rendered board images only -> detected corners
     -> decoded projector corners -> Zhang + joint LM recovers the true

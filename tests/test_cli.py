@@ -3,6 +3,7 @@ Session product paths the tests above cover — here we assert the wiring,
 on a small config."""
 
 import numpy as np
+import pytest
 
 from slr.cli import main
 from slr.config import PatternConfig, ScanConfig
@@ -38,6 +39,7 @@ def test_cli_scan_reconstruct_accumulate(tmp_path):
     assert pts[:, 2].min() > 0.0
 
 
+@pytest.mark.slow
 def test_cli_stereo_demo(tmp_path):
     """slr stereo-demo: the two-camera rig is reachable from the CLI and
     produces a sub-mm PLY (SURVEY.md section 1 "one or two cameras")."""

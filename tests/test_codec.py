@@ -8,6 +8,7 @@ section 6).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from slr.codec import (
     gray_encode, gray_decode_int, generate_gray_patterns, decode_gray,
@@ -203,6 +204,7 @@ def test_spatial_unwrap_repairs_blob():
 # Quality-guided wavefront unwrap (component 8 proper, VERDICT r1 #4)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_wavefront_repairs_multipixel_blob():
     """A 2D blob of fringe-order errors deadlocks the strict voting
     (every blob pixel keeps agreeing wrong neighbours) but must fall to
@@ -230,6 +232,7 @@ def test_wavefront_repairs_multipixel_blob():
     assert float(jnp.max(jnp.abs(Phi_wave - Phi_true))) < 0.5
 
 
+@pytest.mark.slow
 def test_wavefront_phase_only_single_seed():
     """Unwrap a PHASE-ONLY map (no Gray code) from a single seed — the
     reference's quality-guided flood fill use case the voting repair

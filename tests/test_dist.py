@@ -8,6 +8,7 @@ and vs ground truth.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from slr.config import DecodeConfig, PatternConfig
@@ -97,6 +98,7 @@ def test_sharded_reconstruct_matches_unsharded():
     assert perr.max() < 5e-2, perr.max()
 
 
+@pytest.mark.slow
 def test_sharded_reconstruct_spatial_iters():
     """spatial_iters > 0 engages the halo-exchange repair on top of the
     fused kernel decode; on a clean scan it must not perturb the result."""

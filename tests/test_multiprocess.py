@@ -118,6 +118,7 @@ def _oracle_unwrap():
 
 
 @pytest.mark.parametrize("nproc", [2, 4])
+@pytest.mark.slow
 def test_multiprocess_distributed(nproc, tmp_path):
     results = _run_job(nproc, tmp_path)
     assert all(int(r["n_dev"]) == nproc * 2 for r in results)

@@ -107,6 +107,7 @@ def _render_multi(S=3, noise=0.003):
     return cam, cfg, clouds, poses, world_pts
 
 
+@pytest.mark.slow
 def test_config4_registration_recovers_rig_poses():
     cam, cfg, clouds, poses, _ = _render_multi(S=3)
     # chain-only: this asserts pure pairwise-ICP + pose-graph quality on
@@ -124,6 +125,7 @@ def test_config4_registration_recovers_rig_poses():
         assert t_err < 2.0, (s, t_err)
 
 
+@pytest.mark.slow
 def test_config5_fusion_rms():
     cam, cfg, clouds, poses, world_pts = _render_multi(S=3)
     reg = register_scans(clouds, RegistrationConfig(icp_sample_points=2048),
@@ -145,6 +147,7 @@ def test_config5_fusion_rms():
     assert rms < 2.5, rms  # voxel_size=2 quantization + registration error
 
 
+@pytest.mark.slow
 def test_session_end_to_end(tmp_path):
     """Session API: add scans -> reconstruct -> register -> fuse -> PLY."""
     cfg = ScanConfig(
@@ -178,6 +181,7 @@ def _pose_err(R_est, t_est, R_m, t_m):
     return rot, float(jnp.linalg.norm(jnp.asarray(t_est) - jnp.asarray(t_m)))
 
 
+@pytest.mark.slow
 def test_ba_refine_improves_drifted_poses():
     """Multi-scan BA must MEASURABLY improve drifted poses on a 5-scan
     orbit — the "multi-scan BA RMS" metric [B:2] (VERDICT r2 next #4:
@@ -216,6 +220,7 @@ def test_ba_refine_improves_drifted_poses():
         rot_before, rot_after)
 
 
+@pytest.mark.slow
 def test_ba_refine_holds_good_poses():
     """From an already-good pose-graph solution BA must not degrade."""
     from slr.pipeline import ba_refine
@@ -233,6 +238,7 @@ def test_ba_refine_holds_good_poses():
         assert te1 < max(1.5 * te0, 2.0), (s, te0, te1)
 
 
+@pytest.mark.slow
 def test_ba_refine_distributed_matches():
     from slr.pipeline import ba_refine
     from slr.dist import make_mesh
@@ -246,6 +252,7 @@ def test_ba_refine_distributed_matches():
                                atol=1e-2)
 
 
+@pytest.mark.slow
 def test_config4_projective_icp():
     """Dense projective-association ICP (organized grids, no NN search)
     should match or beat the sampled NN path on pose recovery."""
@@ -281,6 +288,7 @@ def test_multifreq_golden_dense():
     assert rms < 1.0, rms  # sub-mm, same bound as config 2
 
 
+@pytest.mark.slow
 def test_multifreq_session_demo(tmp_path):
     """Session round trip with coding=multifreq: scan file -> reconstruct
     (fused path) -> valid organized cloud (the CLI demo path)."""
@@ -335,6 +343,7 @@ def _rot_err_deg(Ra, Rb):
         (np.trace(np.asarray(Ra).T @ np.asarray(Rb)) - 1) / 2, -1, 1))))
 
 
+@pytest.mark.slow
 def test_config4_feature_rescue_large_motion():
     """The feature path is load-bearing (VERDICT r1 #7): at a 30-degree
     rig motion, identity-init ICP diverges and FPFH+RANSAC must rescue
@@ -359,6 +368,7 @@ def test_config4_feature_rescue_large_motion():
     assert t_err < 2.0, t_err
 
 
+@pytest.mark.slow
 def test_config4_loop_closure_corrects_drift():
     """Loop-closure edges (VERDICT r1 #7): a 5-scan chain accumulates
     odometry drift; closures (last<->first + skip pairs) let the pose
@@ -417,6 +427,7 @@ def test_config3_wavefront_spatial_mode():
     assert r_wave < r_base + 0.05, (r_wave, r_base)
 
 
+@pytest.mark.slow
 def test_config5_session_product_path(tmp_path):
     """Config 5 [B:12] driven purely through the product surface
     (Session + config; zero slr.dist imports here): DistConfig builds the
@@ -504,6 +515,7 @@ def test_session_reconstruct_all_batched(tmp_path):
         assert agree > 0.999, agree
 
 
+@pytest.mark.slow
 def test_registration_batched_matches_and_is_batched(monkeypatch):
     """register_scans_batched (VERDICT r2 next #7): recovers the rig
     poses to the same bounds as the sequential path, while the number of
@@ -539,6 +551,7 @@ def test_registration_batched_matches_and_is_batched(monkeypatch):
             assert t_err < 3.0, (s, t_err)
 
 
+@pytest.mark.slow
 def test_registration_batched_sharded_over_map_block():
     """The edge batch shards over the map_block mesh axis (the 'map
     blocks across hosts' contract [B:5]) and still recovers poses."""

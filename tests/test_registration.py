@@ -345,6 +345,7 @@ def test_voxel_hash_nn_matches_ckdtree_64k():
                                d_ref[in_range][agree], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_icp_voxel_nn_matches_exact_64k():
     """icp_point_to_plane's large-N voxel-hash route ("auto" above 24k^2
     pairs) must recover the same pose as the exact-NN oracle."""
@@ -383,3 +384,66 @@ def test_icp_voxel_nn_matches_exact_64k():
     # pose parity with the exact oracle
     assert float(jnp.abs(res_vox.R - res_exact.R).max()) < 5e-3
     assert float(jnp.abs(res_vox.t - res_exact.t).max()) < 0.3
+
+
+def test_band_nn_vs_scipy():
+    """Sorted-band MXU NN (VERDICT r4 next #3) is exact within
+    max_corr_dist against scipy's cKDTree and flags misses with -1."""
+    from scipy.spatial import cKDTree
+    from slr.registration import band_nearest_neighbors
+
+    rng = np.random.default_rng(2)
+    tgt = rng.uniform(-80, 80, (4000, 3)).astype(np.float32)
+    tgt[:, 2] *= 0.2                       # anisotropic: axis choice matters
+    qry = rng.uniform(-90, 90, (1500, 3)).astype(np.float32)
+    qry[:, 2] *= 0.2
+    r = 12.0
+    idx, d2 = band_nearest_neighbors(jnp.asarray(qry), jnp.asarray(tgt),
+                                     max_corr_dist=r, qt=128, tt=128)
+    tree = cKDTree(tgt)
+    d_ref, i_ref = tree.query(qry)
+    within = d_ref <= r
+    assert within.sum() > 1000             # scene sanity
+    np.testing.assert_array_equal(np.asarray(idx)[within], i_ref[within])
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)[within]),
+                               d_ref[within], rtol=1e-3, atol=5e-3)
+    assert np.all(np.asarray(idx)[~within] == -1)
+    assert np.all(np.isinf(np.asarray(d2)[~within]))
+
+
+def test_band_nn_respects_valid_mask():
+    from slr.registration import band_nearest_neighbors
+
+    tgt = jnp.asarray([[0.0, 0, 0], [3.0, 0, 0], [50.0, 0, 0]], jnp.float32)
+    qry = jnp.asarray([[1.0, 0, 0]], jnp.float32)
+    valid = jnp.asarray([False, True, True])
+    idx, d2 = band_nearest_neighbors(qry, tgt, target_valid=valid,
+                                     max_corr_dist=10.0, qt=128, tt=128)
+    assert int(idx[0]) == 1
+    assert abs(float(d2[0]) - 4.0) < 1e-3
+
+
+def test_icp_band_nn_matches_exact():
+    """The band NN route inside ICP (gather-free correspondence
+    extraction) recovers the same pose as the exact-NN path."""
+    src = _bumpy_cloud(8192, seed=7)
+    rv = jnp.asarray([0.01, -0.02, 0.015], jnp.float32)
+    R_true = so3_exp(rv)
+    t_true = jnp.asarray([3.0, -2.0, 4.0], jnp.float32)
+    tgt = src @ R_true.T + t_true
+    gx = (20 * np.cos(np.asarray(src[:, 0]) / 25.0) / 25.0
+          * np.cos(np.asarray(src[:, 1]) / 30.0))
+    gy = (-20 * np.sin(np.asarray(src[:, 0]) / 25.0)
+          * np.sin(np.asarray(src[:, 1]) / 30.0) / 30.0
+          + 8 * np.cos(np.asarray(src[:, 1]) / 12.0) / 12.0)
+    n0 = np.column_stack([-gx, -gy, np.ones_like(gx)])
+    n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+    n_tgt = jnp.asarray(n0, jnp.float32) @ R_true.T
+
+    res = icp_point_to_plane(src, tgt, n_tgt, iters=15, max_corr_dist=20.0,
+                             nn_method="band")
+    np.testing.assert_allclose(np.asarray(res.R), np.asarray(R_true),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_true),
+                               atol=0.5)
+    assert float(res.rms) < 0.2

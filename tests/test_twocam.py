@@ -73,6 +73,7 @@ def _rms_proj(cloud, pts_true):
     return float(np.sqrt(np.mean(err ** 2))), int(mask.sum())
 
 
+@pytest.mark.slow
 def test_two_camera_submm():
     """Default (merge) method: projector-grid cloud, search-class accuracy
     (VERDICT r3 next #1 'search-class accuracy <= 0.1 mm RMS')."""
@@ -85,6 +86,7 @@ def test_two_camera_submm():
     assert rms < 0.1, rms
 
 
+@pytest.mark.slow
 def test_two_camera_merge_kernel_matches_reference():
     """The Pallas crossing kernel and the pure-JAX one-hot contraction
     must agree (same f32 math, windowed vs full contraction)."""
@@ -132,6 +134,7 @@ def test_two_camera_requires_row_coding():
         reconstruct_two_camera(frames, frames, cam1, cam2, cfg)
 
 
+@pytest.mark.slow
 def test_two_camera_session_roundtrip(tmp_path):
     """Product surface: a two-camera session persists cam2 + both stacks
     and reconstruct() routes through the rendezvous path."""
@@ -154,6 +157,7 @@ def test_two_camera_session_roundtrip(tmp_path):
     assert sess.cloud_count() == 1
 
 
+@pytest.mark.slow
 def test_session_route_matrix(tmp_path):
     """Route-combination contract (VERDICT r3 #10 / ADVICE r3 #4):
     an HDR bracket plus a second-camera stack is an explicit error (not a
@@ -200,6 +204,7 @@ def test_two_camera_masks_single_view_occlusion():
     assert rms < 0.1, rms
 
 
+@pytest.mark.slow
 def test_two_camera_multiscan_registration():
     """Two-camera clouds are ordinary ScanClouds: two rig poses of the
     world scene register through the standard ICP + pose-graph path and
@@ -241,6 +246,7 @@ def test_two_camera_multiscan_registration():
     assert t_err < 2.0, t_err
 
 
+@pytest.mark.slow
 def test_two_camera_search_matches_splat():
     """The epipolar depth-search fast path must agree with the
     splat/MLS-gather oracle wherever both claim validity."""
