@@ -40,7 +40,7 @@ from slr.geom.se3 import so3_exp, se3_compose, se3_inverse
 from slr.synth import bumps_depth
 from slr.synth.render import default_rig, render_scan, quantize_frames
 
-OUT = os.path.join(os.path.dirname(__file__), "tpu_matrix_r4.jsonl")
+OUT = os.path.join(os.path.dirname(__file__), "tpu_matrix_r5.jsonl")
 CAM_W, CAM_H = 1280, 1024
 
 
@@ -534,37 +534,48 @@ def main():
 
         # 21x albedo range: dark cells need the long exposure, which
         # saturates the bright cells — the capture scenario the bracket
-        # exists for (a uniform-albedo scene would make E=3 pure waste)
+        # exists for (a uniform-albedo scene would make E=3 pure waste).
+        # Each exposure is an INDEPENDENT capture (r5): per-exposure
+        # sensor noise is drawn separately — scaling one noisy stack by
+        # the gains would correlate the noise across the bracket and
+        # make phase fusion a provable no-op.
         albedo_h = checker_albedo(CAM_H, CAM_W, cells=8, lo=0.035,
                                   hi=0.75)
-        scan_h = render_scan(cam, proj, depth, cfg3, noise_std=0.003,
-                             key=jax.random.PRNGKey(9), albedo=albedo_h)
+        scan_h = render_scan(cam, proj, depth, cfg3, noise_std=0.0,
+                             albedo=albedo_h)
+        hkeys = jax.random.split(jax.random.PRNGKey(9), 3)
         bracket = jnp.stack([
-            quantize_frames(jnp.clip(scan_h.frames * g, 0.0, 1.0))
-            for g in (1.0, 3.2, 10.0)])
+            quantize_frames(jnp.clip(
+                scan_h.frames * g
+                + 0.003 * jax.random.normal(k, scan_h.frames.shape),
+                0.0, 1.0))
+            for g, k in zip((1.0, 3.2, 10.0), hkeys)])
 
-        @jax.jit
-        def hdr_one(b):
-            o = fused_decode_triangulate_hdr(b, cam, proj, cfg3, dec)
-            return o.points, o.mask
+        for fuse in ("sum", "select"):
+            @jax.jit
+            def hdr_one(b, fuse=fuse):
+                o = fused_decode_triangulate_hdr(b, cam, proj, cfg3, dec,
+                                                 fuse=fuse)
+                return o.points, o.mask
 
-        pts_h, mask_h = jax.block_until_ready(hdr_one(bracket))
-        rms_h, n_h = rms_vs_truth(pts_h, mask_h, scan_h)
+            pts_h, mask_h = jax.block_until_ready(hdr_one(bracket))
+            rms_h, n_h = rms_vs_truth(pts_h, mask_h, scan_h)
 
-        def hdr_step(b):
-            o = fused_decode_triangulate_hdr(b, cam, proj, cfg3, dec)
-            b2 = b.at[0, 0, 0, 0].set(
-                (b[0, 0, 0, 0] ^ (o.points[0, 0, 0] > -1e30).astype(
-                    b.dtype)))
-            return o.points[0, 0, 0], b2
+            def hdr_step(b, fuse=fuse):
+                o = fused_decode_triangulate_hdr(b, cam, proj, cfg3, dec,
+                                                 fuse=fuse)
+                b2 = b.at[0, 0, 0, 0].set(
+                    (b[0, 0, 0, 0] ^ (o.points[0, 0, 0] > -1e30).astype(
+                        b.dtype)))
+                return o.points[0, 0, 0], b2
 
-        ms_h, tok = device_ms(hdr_step, bracket, K_hi=33)
-        emit("hdr_fused_e3", ms_per_scan=round(ms_h, 4),
-             rms_mm=round(rms_h, 4), valid_points=n_h,
-             frames=int(bracket.shape[0] * bracket.shape[1]),
-             dtype=str(bracket.dtype),
-             ok=bool(rms_h < 1.0) and tok, timing_ok=tok,
-             timing="device_chained_loop")
+            ms_h, tok = device_ms(hdr_step, bracket, K_hi=33)
+            emit(f"hdr_fused_e3_{fuse}", ms_per_scan=round(ms_h, 4),
+                 rms_mm=round(rms_h, 4), valid_points=n_h,
+                 frames=int(bracket.shape[0] * bracket.shape[1]),
+                 dtype=str(bracket.dtype),
+                 ok=bool(rms_h < 1.0) and tok, timing_ok=tok,
+                 timing="device_chained_loop")
     except Exception:
         emit("hdr_fused_e3", error=traceback.format_exc()[-1500:])
 
@@ -722,6 +733,278 @@ def main():
              note="host wall incl. relay transfers; speedup = overlap win")
     except Exception:
         emit("stream_8scans", error=traceback.format_exc()[-1500:])
+
+    # =====================================================================
+    # Round-5 additions: E5 evidence (feature stage, fusion tail, one
+    # end-to-end config-4 number) + the sorted-band NN (VERDICT r4 next
+    # #1/#3). Production sizes throughout.
+    # =====================================================================
+
+    # ---- FPFH + RANSAC coarse alignment on-chip (VERDICT r4 missing #1)
+    try:
+        from slr.registration import fpfh_features, ransac_align
+        from slr.geom.se3 import so3_exp as _so3e
+
+        rng = np.random.default_rng(11)
+        n_kp = 4096
+        src_f = jnp.asarray(bumpy(n_kp, 8))
+        gx = (20 * np.cos(np.asarray(src_f[:, 0]) / 25.0) / 25.0
+              * np.cos(np.asarray(src_f[:, 1]) / 30.0))
+        gy = (-20 * np.sin(np.asarray(src_f[:, 0]) / 25.0)
+              * np.sin(np.asarray(src_f[:, 1]) / 30.0) / 30.0
+              + 8 * np.cos(np.asarray(src_f[:, 1]) / 12.0) / 12.0)
+        n0 = np.column_stack([-gx, -gy, np.ones_like(gx)])
+        n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+        nrm_f = jnp.asarray(n0, jnp.float32)
+        R_big = _so3e(jnp.asarray([0.1, 0.15, 0.5], jnp.float32))  # ~32 deg
+        t_big = jnp.asarray([40.0, -30.0, 20.0], jnp.float32)
+        tgt_f = src_f @ R_big.T + t_big
+        ntgt_f = nrm_f @ R_big.T
+
+        feats = jax.jit(lambda p, n: fpfh_features(p, n, k=16))
+        f_src = jax.block_until_ready(feats(src_f, nrm_f))
+        f_tgt = jax.block_until_ready(feats(tgt_f, ntgt_f))
+
+        def fp_step(p):
+            f = fpfh_features(p, nrm_f, k=16)
+            return f[0, 0], p.at[0, 0].add(f[0, 0] * 1e-30)
+
+        ms_f, tok_f = device_ms(fp_step, src_f, K_hi=17)
+
+        ra = jax.jit(lambda a, fa, b, fb: ransac_align(
+            a, fa, b, fb, n_iters=256, inlier_dist=5.0))
+        R_est, t_est, inl = jax.block_until_ready(
+            ra(src_f, f_src, tgt_f, f_tgt))
+        rot_err = float(np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(R_est).T @ np.asarray(R_big)) - 1) / 2,
+            -1, 1))))
+        t_err = float(jnp.linalg.norm(t_est - t_big))
+
+        def ra_step(p):
+            R2, t2, _ = ransac_align(p, f_src, tgt_f, f_tgt,
+                                     n_iters=256, inlier_dist=5.0)
+            return t2[0], p.at[0, 0].add(t2[0] * 1e-30)
+
+        ms_r, tok_r = device_ms(ra_step, src_f, K_hi=17)
+        emit("fpfh_4096_k16", ms=round(ms_f, 3),
+             ok=tok_f, timing_ok=tok_f, timing="device_chained_loop")
+        emit("ransac_align_4096_i256", ms=round(ms_r, 3),
+             rot_err_deg=round(rot_err, 3), t_err=round(t_err, 3),
+             inlier_frac=round(float(inl), 3),
+             ok=bool(rot_err < 5.0 and t_err < 8.0) and tok_r,
+             timing_ok=tok_r, timing="device_chained_loop",
+             note="~32 deg + 50 mm motion recovered (coarse stage: "
+                  "ICP owns the fine alignment)")
+    except Exception:
+        emit("fpfh_ransac", error=traceback.format_exc()[-1500:])
+
+    # ---- sorted-band NN at 256k + ICP on the band route (r4 next #3)
+    try:
+        from slr.registration import nearest_neighbors as _nn_exact
+        from slr.registration.band import (band_nn_sorted,
+                                           build_band_target,
+                                           suggest_b_max)
+
+        rng = np.random.default_rng(13)
+        n_big = 262144
+        xy = rng.uniform(-250, 250, (n_big, 2))
+        z = (500 + 20 * np.sin(xy[:, 0] / 25.0) * np.cos(xy[:, 1] / 30.0)
+             + 8 * np.sin(xy[:, 1] / 12.0))
+        tgt_b = jnp.asarray(np.column_stack([xy, z]), jnp.float32)
+        qry_b = tgt_b + jnp.asarray(rng.normal(0, 1.0, (n_big, 3)),
+                                    jnp.float32)
+        r_corr = 8.0
+        bmax = suggest_b_max(qry_b, tgt_b, r_corr)
+        bt = build_band_target(tgt_b)
+        key_b = qry_b @ bt.axis
+        ops = jax.lax.sort([key_b] + [qry_b[:, i] for i in range(3)],
+                           num_keys=1)
+        qc_b = jnp.stack(ops[1:4])
+        qv_b = jnp.ones((qc_b.shape[1],), bool)
+        d2_b = jax.block_until_ready(jax.jit(
+            lambda q: band_nn_sorted(q, qv_b, bt, r_corr, bmax)[0])(qc_b))
+        miss = float(jnp.mean(jnp.isinf(d2_b)))
+
+        def b_step(q):
+            d2, p2, n2, _ = band_nn_sorted(q, qv_b, bt, r_corr, bmax)
+            return p2[0, 0], q.at[0, 0].add(p2[0, 0] * 1e-30)
+
+        ms_b, tok = device_ms(b_step, qc_b, K_hi=17)
+
+        def e_step(q):
+            idx, d2 = _nn_exact(q, tgt_b, tile=2048)
+            return d2[0], q.at[0, 0].add(d2[0] * 1e-30)
+
+        ms_e, tok_e = device_ms(e_step, qry_b, K_hi=3)
+        emit("band_nn_256k", ms=round(ms_b, 3),
+             brute_ms=round(ms_e, 3),
+             speedup=round(ms_e / ms_b, 2), b_max_tiles=int(bmax),
+             n_tiles=int(bt.tlo.shape[0]), miss_frac=round(miss, 5),
+             ok=bool(miss < 0.01) and tok and tok_e, timing_ok=tok,
+             timing="device_chained_loop",
+             note="exact within 8 mm radius; 500 mm scan-sized cloud")
+
+        # full ICP on the band route at 256k
+        gxb = (20 * np.cos(np.asarray(tgt_b[:, 0]) / 25.0) / 25.0
+               * np.cos(np.asarray(tgt_b[:, 1]) / 30.0))
+        gyb = (-20 * np.sin(np.asarray(tgt_b[:, 0]) / 25.0)
+               * np.sin(np.asarray(tgt_b[:, 1]) / 30.0) / 30.0
+               + 8 * np.cos(np.asarray(tgt_b[:, 1]) / 12.0) / 12.0)
+        nb = np.column_stack([-gxb, -gyb, np.ones_like(gxb)])
+        nb /= np.linalg.norm(nb, axis=1, keepdims=True)
+        R_true_b = so3_exp(jnp.asarray([0.004, -0.006, 0.005], jnp.float32))
+        t_true_b = jnp.asarray([1.5, -1.0, 2.0], jnp.float32)
+        src_icp = tgt_b
+        tgt_icp = src_icp @ R_true_b.T + t_true_b
+        n_icp = jnp.asarray(nb, jnp.float32) @ R_true_b.T
+
+        def run_band_icp(s):
+            return icp_point_to_plane(s, tgt_icp, n_icp, iters=15,
+                                      max_corr_dist=8.0,
+                                      nn_method="band")
+
+        res_b = jax.block_until_ready(run_band_icp(src_icp))
+
+        def icp_b_step(s):
+            r = run_band_icp(s)
+            return r.rms, s.at[0, 0].add(r.rms * 1e-30)
+
+        ms_ib, tok = device_ms(icp_b_step, src_icp, K_hi=3)
+        rerr = float(jnp.abs(res_b.R - R_true_b).max())
+        terr = float(jnp.abs(res_b.t - t_true_b).max())
+        emit("icp_256k_band_15iter", ms=round(ms_ib, 3), R_err=rerr,
+             t_err=terr, rms=float(res_b.rms),
+             ok=bool(rerr < 5e-3 and terr < 0.5) and tok, timing_ok=tok,
+             timing="device_chained_loop")
+    except Exception:
+        emit("band_nn_256k", error=traceback.format_exc()[-1500:])
+
+    # ---- fusion tail on-chip: TSDF integrate + mesh, voxel fuse
+    # (VERDICT r4 missing #2)
+    try:
+        from slr.pipeline.tsdf import (_active_cubes, _march_tets,
+                                       extract_mesh, fuse_tsdf,
+                                       make_volume, tsdf_integrate)
+        from slr.pipeline.reconstruct import reconstruct_dense
+        from slr.config import ReconstructConfig as _RC
+
+        cloud_t = reconstruct_dense(quantize_frames(scan3.frames), cam,
+                                    proj, cfg3, dec, _RC())
+        jax.block_until_ready(cloud_t.points)
+        p0 = np.asarray(cloud_t.points)[np.asarray(cloud_t.mask)]
+        lo = p0.min(axis=0) - 10.0
+        vol = make_volume(lo, size_vox=(128, 128, 128), voxel=2.5)
+        R_id = jnp.eye(3, dtype=jnp.float32)
+        t_id = jnp.zeros(3, jnp.float32)
+        vol1 = jax.block_until_ready(
+            tsdf_integrate(vol, cloud_t, cam, R_id, t_id))
+
+        def tsdf_step(w):
+            v2 = tsdf_integrate(vol._replace(weight=w), cloud_t, cam,
+                                R_id, t_id)
+            return v2.tsdf[0, 0, 0], v2.weight
+        ms_t, tok = device_ms(tsdf_step, vol.weight, K_hi=17)
+        vox_s = 128 ** 3 / (ms_t / 1e3)
+        emit("tsdf_integrate_128", ms_per_scan=round(ms_t, 3),
+             voxels_per_s=round(vox_s),
+             ok=bool(float(jnp.sum(vol1.weight > 0)) > 1e4) and tok,
+             timing_ok=tok, timing="device_chained_loop")
+
+        # mesh extraction: device mask+tets vs host compaction split
+        t0 = time.perf_counter()
+        act = jax.block_until_ready(_active_cubes(vol1))
+        t_dev_mask = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        verts, faces = extract_mesh(vol1)
+        t_total = (time.perf_counter() - t0) * 1e3
+        emit("tsdf_extract_mesh_128", total_ms=round(t_total, 2),
+             active_mask_ms=round(t_dev_mask, 2),
+             n_faces=int(faces.shape[0]),
+             ok=bool(faces.shape[0] > 1000), timing="host_wall",
+             note="device active-mask + tet pass; host compacts indices "
+                  "(export-level per SURVEY build plan)")
+    except Exception:
+        emit("tsdf_128", error=traceback.format_exc()[-1500:])
+
+    # ---- end-to-end config-4/5: 8 scans -> registered, BA-refined,
+    # fused cloud (VERDICT r4 missing #3). Host wall on the chip: this
+    # is the number a user experiences, host glue and relay included.
+    try:
+        from slr.pipeline.registerfuse import (ba_refine, fuse_scans,
+                                               register_scans_batched)
+        from slr.pipeline.reconstruct import reconstruct_dense
+        from slr.config import (ReconstructConfig as _RC,
+                                RegistrationConfig as _RG)
+        from slr.synth import spheres_scene
+        from slr.synth.render import move_rig
+
+        S_e2e = 8
+        rng = np.random.default_rng(17)
+        stacks, poses_m, truths = [], [], []
+        for s in range(S_e2e):
+            rv = jnp.asarray([0.0, 0.025 * s, 0.008 * s], jnp.float32)
+            tv = jnp.asarray([7.0 * s, -3.0 * s, 0.0], jnp.float32)
+            R_m, t_m = so3_exp(rv), tv
+            cam_s, proj_s = move_rig(cam, proj, R_m, t_m)
+            d_s = spheres_scene(cam_s, CAM_H, CAM_W)
+            sc = render_scan(cam_s, proj_s, d_s, cfg3, noise_std=0.003,
+                             key=jax.random.PRNGKey(40 + s))
+            stacks.append(quantize_frames(sc.frames))
+            poses_m.append((R_m, t_m))
+            truths.append((sc.points_true, sc.mask_true))
+        jax.block_until_ready(stacks[-1])
+        rc = _RC()
+        rg = _RG(icp_sample_points=4096)
+
+        def full_pipeline():
+            clouds = [reconstruct_dense(f, cam, proj, cfg3, dec, rc)
+                      for f in stacks]
+            reg = register_scans_batched(clouds, rg, use_features=True,
+                                         cam=cam)
+            reg = ba_refine(clouds, reg, n_landmarks=512, iters=8)
+            pts, val, col, n_vox = fuse_scans(clouds, reg,
+                                              _RG(voxel_size=2.0),
+                                              capacity=1 << 20)
+            return clouds, reg, pts, val, n_vox
+
+        clouds, reg, pts_f, val_f, n_vox = full_pipeline()  # warm compile
+        jax.block_until_ready(pts_f)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = full_pipeline()
+            jax.block_until_ready(out[2])
+            ts.append((time.perf_counter() - t0) * 1e3)
+        ts.sort()
+        ms_e2e = ts[len(ts) // 2]
+
+        # accuracy: pose error vs rig motion + fused-surface RMS vs the
+        # union of ground-truth clouds
+        rot_errs, t_errs = [], []
+        for s, (R_m, t_m) in enumerate(poses_m):
+            rot_errs.append(np.degrees(np.arccos(np.clip(
+                (np.trace(np.asarray(reg.R[s]).T @ np.asarray(R_m)) - 1)
+                / 2, -1, 1))))
+            t_errs.append(float(jnp.linalg.norm(reg.t[s] - t_m)))
+        gt = jnp.concatenate([t[0].reshape(-1, 3) for t in truths])
+        gt_valid = jnp.concatenate([c.mask.reshape(-1) for c in clouds])
+        sel = jnp.where(val_f)[0][:8192]
+        _, d2f = nearest_neighbors(pts_f[sel], gt, gt_valid, tile=4096)
+        rms_f = float(jnp.sqrt(jnp.mean(d2f)))
+        emit("e2e_config4_8scans", total_ms=round(ms_e2e, 1),
+             ms_per_scan=round(ms_e2e / S_e2e, 1),
+             n_voxels=int(n_vox),
+             max_rot_err_deg=round(max(rot_errs), 4),
+             max_t_err_mm=round(max(t_errs), 4),
+             fused_rms_mm=round(rms_f, 3),
+             ok=bool(max(rot_errs) < 0.5 and max(t_errs) < 2.0
+                     and rms_f < 2.5),
+             timing="host_wall",
+             note="8x 1280x1024 uint8 scans -> decode + coarse/fine "
+                  "registration + pose graph + BA + voxel fuse; host "
+                  "glue and relay dispatch included")
+    except Exception:
+        emit("e2e_config4_8scans", error=traceback.format_exc()[-1500:])
 
     emit("done")
 

@@ -57,21 +57,22 @@ from jax.experimental.pallas import tpu as pltpu
 from slr.kernels.common import round_up, use_interpret
 
 # Tile defaults from the on-chip sweeps (r4 + r5): one grid step per
-# row-block (grid-level k/u tiling re-fetched operand blocks per step and
-# lost to DMA traffic — the r4 finding), with SUB-tiling inside the
-# kernel instead: the payload block is tiny (~40 KB) and lives in VMEM
-# for the whole step, so (u-subtile x k-subtile) pairs can be skipped at
-# zero refetch cost. Because the code sequence is monotone-ish per row,
-# a u-subtile's crossings span a narrow contiguous bin band — most
-# subtile pairs are dead, and pruning them attacks the kernel's real
-# bottleneck: the one-hot matmul's N=16-channel LHS wastes 8x of the
-# 128-lane MXU, so every skipped (ksub x usub) rectangle saves full
-# MXU passes. The u-tile grid dimension engages only for cameras wider
-# than _UTILE pairs.
+# row-block (grid-level k/u tiling re-fetched operand blocks per step
+# and lost to DMA traffic — the r4 finding). The r5 rewrite moved the
+# (u-subtile x k-subtile) skip decision INSIDE the kernel (static loops
+# + pl.when over an SMEM activity table, zero refetch cost), but the
+# production sweep ruled against engaging it: at merge shapes the
+# active fraction is 0.2-0.5 and the branch + small-dot overhead eats
+# the saving (pass 1: 0.716 ms at usub=640/ksub=512 vs 0.772 unpruned;
+# every finer config SLOWER; pass 2 unpruned 0.606 ms beats all pruned
+# configs — benchmarks/probe_r5.py, probe_r5b.py on the v5e). Defaults
+# therefore run ONE full-width dot per row (usub >= row width, ksub >=
+# num_bins, clamped so K never pads past num_bins); the subtile
+# machinery stays available for unusual shapes via the kwargs.
 _UTILE = 2560       # pairs per row-unit (>= row width = no u-tiling)
 _RT = 8             # rows per grid block
-_USUB = 256         # pair sub-tile (activity granularity)
-_KSUB = 256         # bin sub-tile (activity granularity)
+_USUB = 2560        # pair sub-tile (>= width = no subtiling)
+_KSUB = 1024        # bin sub-tile (clamped to round_up(num_bins, 128))
 
 
 def _round_bf16(x):
@@ -205,6 +206,7 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
     usub = min(usub, round_up(U, 128))
     utile = min(utile, round_up(U, usub))
     utile = round_up(utile, usub)
+    ksub = min(ksub, round_up(num_bins, 128))
     Kp = round_up(num_bins, ksub)
     Up = round_up(U, utile)
     Rp = round_up(R, rt)
@@ -259,6 +261,154 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
         interpret=use_interpret(),
     )(act, code_lo, code_hi, payload)
     return out[:R, :, :num_bins]
+
+
+def _fused_kernel(code_ref, val_ref, ch_ref, cnt_ref, out_ref, *,
+                  rt: int, U: int, Kp: int, C: int, interp: tuple,
+                  gates: tuple, dmin: float, dmax: float):
+    """Build payload + one-hot contraction + crossing interpolation for
+    one row-block, entirely in VMEM (see crossing_interp_fused)."""
+    NP = U - 1
+
+    def row(r, acc):
+        crow = code_ref[pl.ds(r, 1), :]                    # (1, U)
+        vrow = val_ref[pl.ds(r, 1), :]
+        cl = crow[:, :NP]
+        chh = crow[:, 1:]
+        d = chh - cl
+        pv = ((vrow[:, :NP] > 0.5) & (vrow[:, 1:] > 0.5)
+              & (d > dmin) & (d < dmax))
+        chans = []
+        for c in range(C):
+            qrow = ch_ref[pl.ds(r, 1), c, :][:, :U]        # (1, U)
+            chans.append(qrow)
+        for c, thr in gates:
+            q = chans[c]
+            pv = pv & (jnp.abs(q[:, 1:] - q[:, :NP]) < thr)
+        pvf = pv.astype(jnp.float32)
+        d_safe = jnp.where(pv, d, 1.0)
+        terms = [pvf]
+        layout = []
+        for c in range(C):
+            lo = chans[c][:, :NP]
+            hi = chans[c][:, 1:]
+            if interp[c]:
+                g = (hi - lo) / d_safe
+                a = lo - cl * g
+                i0 = len(terms)
+                terms.extend(_split3(jnp.where(pv, a, 0.0)))
+                terms.extend(_split3(jnp.where(pv, g, 0.0)))
+                layout.append(("interp", i0))
+            else:
+                i0 = len(terms)
+                terms.append(jnp.where(pv, lo, 0.0))
+                layout.append(("nearest", i0))
+        p = jnp.concatenate(terms, axis=0)                 # (N, NP)
+        clz = jnp.where(pv, cl, -1.0)
+        chz = jnp.where(pv, chh, -1.0)
+        kio = jax.lax.broadcasted_iota(jnp.int32, (Kp, NP), 0)
+        kv = kio.astype(jnp.float32)
+        oh = ((clz <= kv) & (chz > kv)).astype(jnp.float32)
+        sums = jax.lax.dot_general(
+            p, oh, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)            # (N, Kp)
+        cnt = sums[0:1, :]
+        safe = jnp.maximum(cnt, 1e-9)
+        kg = jax.lax.broadcasted_iota(
+            jnp.int32, (1, Kp), 1).astype(jnp.float32)
+        cnt_ref[pl.ds(r, 1), :] = cnt
+        for c, (kind, i0) in enumerate(layout):
+            if kind == "interp":
+                A = sums[i0:i0 + 1] + sums[i0 + 1:i0 + 2] \
+                    + sums[i0 + 2:i0 + 3]
+                B = sums[i0 + 3:i0 + 4] + sums[i0 + 4:i0 + 5] \
+                    + sums[i0 + 5:i0 + 6]
+                out_ref[pl.ds(r, 1), c, :] = (A + kg * B) / safe
+            else:
+                out_ref[pl.ds(r, 1), c, :] = sums[i0:i0 + 1] / safe
+        return acc
+
+    jax.lax.fori_loop(0, rt, row, 0)
+
+
+@partial(jax.jit, static_argnames=("num_bins", "interp", "gates", "dmin",
+                                   "dmax", "rt"))
+def crossing_interp_fused(code, valid, channels, num_bins: int,
+                          interp: tuple, gates: tuple = (),
+                          dmin: float = 0.125, dmax: float = 4.0,
+                          rt: int = _RT):
+    """crossing_interp with payload build, one-hot MXU contraction AND
+    crossing interpolation fused into ONE kernel (VERDICT r4 next #2's
+    named lever): the (R, N, U) payload and the raw (R, N, K) bin sums
+    never exist in HBM — per row the kernel builds the bf16-exact
+    3-split payload in registers, does the one full-width dot, and
+    emits the interpolated channel values directly. vs the unfused
+    route this removes ~2 XLA passes and ~100 MB of HBM traffic per
+    inversion (measured: invert_to_projector 3.8 ms -> see matrix row).
+
+    ``gates``: static tuple of (channel_index, max_jump) continuity
+    vetoes on CARRIED channels — the in-kernel equivalent of
+    crossing_interp's ``pair_gate`` (a pair whose carried value jumps
+    more than max_jump straddles a silhouette; interpolating across it
+    would bridge two surfaces with phantom points).
+
+    Requires the full row width in one block (cameras wider than
+    ~2560 px should use crossing_interp's tiled route). Returns
+    (cnt (R, num_bins), vals (C, R, num_bins)), exactly as
+    crossing_interp.
+    """
+    code = code.astype(jnp.float32)
+    R, U = code.shape
+    C = channels.shape[0]
+    for c, _ in gates:
+        assert 0 <= c < C, (c, C)
+    Rp = round_up(R, rt)
+    # lane width: pairs = U-1; pad code/valid to Up+1 so the kernel's
+    # (U-1)-wide pair math lands on a 128-multiple
+    Up = round_up(U - 1, 128)
+    pr, pu = Rp - R, Up + 1 - U
+    if pr or pu:
+        code = jnp.pad(code, ((0, pr), (0, pu)))
+        valid = jnp.pad(valid, ((0, pr), (0, pu)))
+        channels = jnp.pad(channels, ((0, 0), (0, pr), (0, pu)))
+    valid = valid.astype(jnp.float32)
+    chans_rcu = jnp.moveaxis(channels, 0, 1)     # (R, C, U) pair-innermost
+    Kp = round_up(num_bins, 128)
+    nbr = Rp // rt
+
+    cnt, vals = pl.pallas_call(
+        partial(_fused_kernel, rt=rt, U=Up + 1, Kp=Kp, C=C,
+                interp=interp, gates=gates, dmin=dmin, dmax=dmax),
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec((rt, Up + 1), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, Up + 1), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, C, Up + 1), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rt, Kp), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, C, Kp), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, C, Kp), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * Kp * Up * 32,
+            bytes_accessed=(2 + C) * 4 * Rp * Up
+            + (1 + C) * 4 * Rp * Kp,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(),
+    )(code, valid, chans_rcu)
+    return (cnt[:R, :num_bins],
+            jnp.moveaxis(vals, 1, 0)[:, :R, :num_bins])
 
 
 def crossing_bin_sum_reference(code_lo, code_hi, payload, num_bins: int,

@@ -317,7 +317,7 @@ def invert_to_projector(x_p, y_p, mask, quality, white,
 
     Returns (valid, u, v, q, w), all (proj_h, proj_w).
     """
-    from slr.kernels.crossing import crossing_interp
+    from slr.kernels.crossing import crossing_interp, crossing_interp_fused
 
     H, W = x_p.shape
     u_i = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
@@ -328,11 +328,18 @@ def invert_to_projector(x_p, y_p, mask, quality, white,
     # continuity of the CARRIED code axis: a pair stepping < dmax bins in
     # x can still jump in y across a shallow silhouette — interpolating
     # there would bridge two surfaces (phantom points the ray-gap gate
-    # cannot see, since both cameras bridge the same jump consistently)
-    gate1 = jnp.abs(y_p[:, 1:] - y_p[:, :-1]) < dmax
-    cnt1, (u1, y1, q1, w1) = crossing_interp(
-        x_p, mask, ch1, proj_w, interp=(True, True, False, False),
-        dmin=dmin, dmax=dmax, use_kernel=use_kernel, pair_gate=gate1)
+    # cannot see, since both cameras bridge the same jump consistently).
+    # The fused route applies the same veto in-kernel (gates=).
+    fused = use_kernel and max(H, W) <= 2560
+    if fused:
+        cnt1, (u1, y1, q1, w1) = crossing_interp_fused(
+            x_p, mask, ch1, proj_w, interp=(True, True, False, False),
+            gates=((1, dmax),), dmin=dmin, dmax=dmax)
+    else:
+        gate1 = jnp.abs(y_p[:, 1:] - y_p[:, :-1]) < dmax
+        cnt1, (u1, y1, q1, w1) = crossing_interp(
+            x_p, mask, ch1, proj_w, interp=(True, True, False, False),
+            dmin=dmin, dmax=dmax, use_kernel=use_kernel, pair_gate=gate1)
 
     code2 = y1.T                       # (proj_w, H)
     valid2 = (cnt1 > 0.5).T
@@ -345,10 +352,15 @@ def invert_to_projector(x_p, y_p, mask, quality, white,
     # same continuity veto on the carried camera-u position (``du_max``
     # cam px): fore/background bridges jump in disparity even when the
     # y-code step stays under dmax
-    gate2 = jnp.abs(u2c[:, 1:] - u2c[:, :-1]) < du_max
-    cnt2, (u_t, v_t, q_t, w_t) = crossing_interp(
-        code2, valid2, ch2, proj_h, interp=(True, True, False, False),
-        dmin=dmin, dmax=dmax, use_kernel=use_kernel, pair_gate=gate2)
+    if fused:
+        cnt2, (u_t, v_t, q_t, w_t) = crossing_interp_fused(
+            code2, valid2, ch2, proj_h, interp=(True, True, False, False),
+            gates=((0, du_max),), dmin=dmin, dmax=dmax)
+    else:
+        gate2 = jnp.abs(u2c[:, 1:] - u2c[:, :-1]) < du_max
+        cnt2, (u_t, v_t, q_t, w_t) = crossing_interp(
+            code2, valid2, ch2, proj_h, interp=(True, True, False, False),
+            dmin=dmin, dmax=dmax, use_kernel=use_kernel, pair_gate=gate2)
     return ((cnt2 > 0.5).T, u_t.T, v_t.T, q_t.T, w_t.T)
 
 
@@ -462,8 +474,25 @@ def reconstruct_two_camera(
             "two-camera mode needs both projector axes coded: set "
             "row_gray_bits (+ optionally row_phase_steps) in PatternConfig")
 
-    r1 = decode_stack(frames1, cfg, dec)
-    r2 = decode_stack(frames2, cfg, dec)
+    # decode through the fused Pallas kernel's decode_only route when the
+    # config supports it (r5: the pure-JAX decode_stack was ~2 ms/camera
+    # of the merge path's 8 ms — the kernel reads the frame stack once
+    # and emits the code maps at HBM speed; no projector model needed)
+    if cfg.coding == "gray_phase" and cfg.use_inverse and cfg.phase_steps:
+        from slr.codec.patterns import DecodeResult
+        from slr.kernels.fused_scan import fused_decode_triangulate
+
+        def _dec(frames, cam):
+            o = fused_decode_triangulate(frames, cam, None, cfg, dec,
+                                         decode_only=True)
+            return DecodeResult(x_p=o.x_p, y_p=o.y_p, mask=o.mask > 0.5,
+                                quality=o.quality)
+
+        r1 = _dec(frames1, cam1)
+        r2 = _dec(frames2, cam2)
+    else:
+        r1 = decode_stack(frames1, cfg, dec)
+        r2 = decode_stack(frames2, cfg, dec)
     if r1.y_p is None:
         raise ValueError("decode produced no projector-row coordinate")
 
