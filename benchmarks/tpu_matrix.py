@@ -508,6 +508,32 @@ def main():
                  points_per_s=round(n2 / (ms / 1e3)),
                  ok=bool(rms2 < 0.5) and tok, timing_ok=tok,
                  timing="device_chained_loop")
+
+        # uint8 merge row (r5): production cameras deliver 8-bit frames
+        # and the fused decode_only route then reads 1 B/px from HBM
+        sa8 = quantize_frames(sa.frames)
+        sb8 = quantize_frames(sb.frames)
+        cl8 = jax.block_until_ready(jax.jit(
+            lambda a, b: reconstruct_two_camera(
+                a, b, c1, c2, cfg2, rec=rec2, method="merge"))(sa8, sb8))
+        m8 = np.asarray(cl8.mask)
+        e8 = np.linalg.norm(np.asarray(cl8.points) - pts_true_p,
+                            axis=-1)[m8]
+        rms8, n8 = float(np.sqrt((e8 ** 2).mean())), int(m8.sum())
+
+        def tc8_step(f):
+            o = reconstruct_two_camera(f, sb8, c1, c2, cfg2,
+                                       rec=rec2, method="merge")
+            f2 = f.at[0, 0, 0].set(
+                f[0, 0, 0] ^ (o.points[0, 0, 0] > -1e30).astype(f.dtype))
+            return o.points[0, 0, 0], f2
+
+        ms8, tok8 = device_ms(tc8_step, sa8, K_hi=17)
+        emit("two_camera_merge_uint8", ms_per_scan=round(ms8, 4),
+             rms_mm=round(rms8, 4), valid_points=n8,
+             points_per_s=round(n8 / (ms8 / 1e3)),
+             ok=bool(rms8 < 0.5) and tok8, timing_ok=tok8,
+             timing="device_chained_loop")
     except Exception:
         emit("two_camera_rendezvous", error=traceback.format_exc()[-1500:])
 

@@ -263,49 +263,63 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
     return out[:R, :, :num_bins]
 
 
-def _fused_kernel(code_ref, val_ref, ch_ref, cnt_ref, out_ref, *,
-                  rt: int, U: int, Kp: int, C: int, interp: tuple,
-                  gates: tuple, dmin: float, dmax: float):
+def _fused_kernel(code_ref, val_ref, ch_ref, cnt_ref, out_ref, pay_s,
+                  cl_s, chz_s, *, rt: int, U: int, Kp: int, C: int,
+                  interp: tuple, gates: tuple, dmin: float, dmax: float):
     """Build payload + one-hot contraction + crossing interpolation for
-    one row-block, entirely in VMEM (see crossing_interp_fused)."""
+    one row-block, entirely in VMEM (see crossing_interp_fused).
+
+    Two phases: the payload terms are built VECTORIZED over all rt rows
+    of the block into scratch (full sublane occupancy — the first cut
+    built them inside the per-row loop and each (1, U) op used 1 of 8
+    sublanes, doubling the pass: 1.50 vs 0.77 ms, probe_r5d); the
+    per-row one-hot dot + interpolation then reads scratch."""
     NP = U - 1
 
+    # --- phase 1: block-wide payload build into scratch ---
+    crow = code_ref[:, :]                                  # (rt, U)
+    v = val_ref[:, :]
+    cl = crow[:, :NP]
+    chh = crow[:, 1:]
+    d = chh - cl
+    pv = ((v[:, :NP] > 0.5) & (v[:, 1:] > 0.5)
+          & (d > dmin) & (d < dmax))
+    for c, thr in gates:
+        q = ch_ref[:, c, :]
+        pv = pv & (jnp.abs(q[:, 1:] - q[:, :NP]) < thr)
+    d_safe = jnp.where(pv, d, 1.0)
+    pay_s[:, 0, :] = pv.astype(jnp.float32)
+    idx = 1
+    layout = []
+    for c in range(C):
+        q = ch_ref[:, c, :]
+        lo = q[:, :NP]
+        hi = q[:, 1:]
+        if interp[c]:
+            g = (hi - lo) / d_safe
+            a = lo - cl * g
+            h1, h2, h3 = _split3(jnp.where(pv, a, 0.0))
+            pay_s[:, idx, :] = h1
+            pay_s[:, idx + 1, :] = h2
+            pay_s[:, idx + 2, :] = h3
+            g1, g2, g3 = _split3(jnp.where(pv, g, 0.0))
+            pay_s[:, idx + 3, :] = g1
+            pay_s[:, idx + 4, :] = g2
+            pay_s[:, idx + 5, :] = g3
+            layout.append(("interp", idx))
+            idx += 6
+        else:
+            pay_s[:, idx, :] = jnp.where(pv, lo, 0.0)
+            layout.append(("nearest", idx))
+            idx += 1
+    cl_s[:, :] = jnp.where(pv, cl, -1.0)
+    chz_s[:, :] = jnp.where(pv, chh, -1.0)
+
+    # --- phase 2: per-row one-hot dot + interpolation ---
     def row(r, acc):
-        crow = code_ref[pl.ds(r, 1), :]                    # (1, U)
-        vrow = val_ref[pl.ds(r, 1), :]
-        cl = crow[:, :NP]
-        chh = crow[:, 1:]
-        d = chh - cl
-        pv = ((vrow[:, :NP] > 0.5) & (vrow[:, 1:] > 0.5)
-              & (d > dmin) & (d < dmax))
-        chans = []
-        for c in range(C):
-            qrow = ch_ref[pl.ds(r, 1), c, :][:, :U]        # (1, U)
-            chans.append(qrow)
-        for c, thr in gates:
-            q = chans[c]
-            pv = pv & (jnp.abs(q[:, 1:] - q[:, :NP]) < thr)
-        pvf = pv.astype(jnp.float32)
-        d_safe = jnp.where(pv, d, 1.0)
-        terms = [pvf]
-        layout = []
-        for c in range(C):
-            lo = chans[c][:, :NP]
-            hi = chans[c][:, 1:]
-            if interp[c]:
-                g = (hi - lo) / d_safe
-                a = lo - cl * g
-                i0 = len(terms)
-                terms.extend(_split3(jnp.where(pv, a, 0.0)))
-                terms.extend(_split3(jnp.where(pv, g, 0.0)))
-                layout.append(("interp", i0))
-            else:
-                i0 = len(terms)
-                terms.append(jnp.where(pv, lo, 0.0))
-                layout.append(("nearest", i0))
-        p = jnp.concatenate(terms, axis=0)                 # (N, NP)
-        clz = jnp.where(pv, cl, -1.0)
-        chz = jnp.where(pv, chh, -1.0)
+        p = pay_s[pl.ds(r, 1), :, :][0]                    # (N, NP)
+        clz = cl_s[pl.ds(r, 1), :]
+        chz = chz_s[pl.ds(r, 1), :]
         kio = jax.lax.broadcasted_iota(jnp.int32, (Kp, NP), 0)
         kv = kio.astype(jnp.float32)
         oh = ((clz <= kv) & (chz > kv)).astype(jnp.float32)
@@ -376,6 +390,7 @@ def crossing_interp_fused(code, valid, channels, num_bins: int,
     chans_rcu = jnp.moveaxis(channels, 0, 1)     # (R, C, U) pair-innermost
     Kp = round_up(num_bins, 128)
     nbr = Rp // rt
+    n_terms = 1 + sum(6 if i else 1 for i in interp)
 
     cnt, vals = pl.pallas_call(
         partial(_fused_kernel, rt=rt, U=Up + 1, Kp=Kp, C=C,
@@ -388,6 +403,11 @@ def crossing_interp_fused(code, valid, channels, num_bins: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, C, Up + 1), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rt, n_terms, Up), jnp.float32),
+            pltpu.VMEM((rt, Up), jnp.float32),
+            pltpu.VMEM((rt, Up), jnp.float32),
         ],
         out_specs=(
             pl.BlockSpec((rt, Kp), lambda r: (r, 0),
