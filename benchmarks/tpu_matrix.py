@@ -477,10 +477,12 @@ def main():
         dz_p = jnp.einsum("j,...j->...", prj.R[2], d_p)
         pts_true_p = np.asarray(o_p + (d_pt / dz_p)[..., None] * d_p)
 
-        # K_hi stays small for these giant graphs: chaining 17
-        # copies of the search graph once faulted the TPU device
-        # (UNAVAILABLE) — the guardrail is documented in BASELINE.md
-        for meth, K_hi in (("merge", 17), ("search", 17), ("splat", 3)):
+        # K_hi stays SMALL for the search graph: chaining 17 copies
+        # faults the TPU device intermittently (UNAVAILABLE — reproduced
+        # again in r5, killing every later case of that run). K<=5 is
+        # the documented stable range; the production API fences this
+        # path (twocam.py unsafe_search).
+        for meth, K_hi in (("merge", 17), ("search", 3), ("splat", 3)):
             cl = jax.block_until_ready(jax.jit(
                 lambda a, b: reconstruct_two_camera(
                     a, b, c1, c2, cfg2, rec=rec2, method=meth,
@@ -884,10 +886,15 @@ def main():
         tgt_icp = src_icp @ R_true_b.T + t_true_b
         n_icp = jnp.asarray(nb, jnp.float32) @ R_true_b.T
 
+        # band cap precomputed eagerly: the chained device timing jits
+        # around the call and suggest_b_max's host sync cannot trace
+        bmax_icp = suggest_b_max(src_icp, tgt_icp, 8.0)
+
         def run_band_icp(s):
             return icp_point_to_plane(s, tgt_icp, n_icp, iters=15,
                                       max_corr_dist=8.0,
-                                      nn_method="band")
+                                      nn_method="band",
+                                      band_b_max=bmax_icp)
 
         res_b = jax.block_until_ready(run_band_icp(src_icp))
 
@@ -936,7 +943,12 @@ def main():
              ok=bool(float(jnp.sum(vol1.weight > 0)) > 1e4) and tok,
              timing_ok=tok, timing="device_chained_loop")
 
-        # mesh extraction: device mask+tets vs host compaction split
+        # mesh extraction: device mask+tets vs host compaction split.
+        # Warm both jits first — _march_tets compiles per active-cube
+        # capacity and a cold call times the RELAY compile, not the work
+        # (the first r5 run recorded 34 s of compile as "extraction")
+        jax.block_until_ready(_active_cubes(vol1))
+        extract_mesh(vol1)
         t0 = time.perf_counter()
         act = jax.block_until_ready(_active_cubes(vol1))
         t_dev_mask = (time.perf_counter() - t0) * 1e3
@@ -961,9 +973,15 @@ def main():
         from slr.pipeline.reconstruct import reconstruct_dense
         from slr.config import (ReconstructConfig as _RC,
                                 RegistrationConfig as _RG)
-        from slr.synth import spheres_scene
+        from slr.synth import rocks_scene
         from slr.synth.render import move_rig
 
+        # rocks_scene, not spheres_scene: at the far end of this orbit
+        # the spheres leave the inter-scan overlap and the remaining
+        # plane leaves tangential motion unconstrained for point-to-
+        # plane alignment (measured: scans 6-7 slide 3.8 deg / 6 mm
+        # while the fused surface stays at 0.066 mm RMS — a degenerate
+        # SCENE, not a solver failure; rocks pin every direction)
         S_e2e = 8
         rng = np.random.default_rng(17)
         stacks, poses_m, truths = [], [], []
@@ -972,7 +990,7 @@ def main():
             tv = jnp.asarray([7.0 * s, -3.0 * s, 0.0], jnp.float32)
             R_m, t_m = so3_exp(rv), tv
             cam_s, proj_s = move_rig(cam, proj, R_m, t_m)
-            d_s = spheres_scene(cam_s, CAM_H, CAM_W)
+            d_s = rocks_scene(cam_s, CAM_H, CAM_W)
             sc = render_scan(cam_s, proj_s, d_s, cfg3, noise_std=0.003,
                              key=jax.random.PRNGKey(40 + s))
             stacks.append(quantize_frames(sc.frames))
@@ -1008,9 +1026,9 @@ def main():
         # union of ground-truth clouds
         rot_errs, t_errs = [], []
         for s, (R_m, t_m) in enumerate(poses_m):
-            rot_errs.append(np.degrees(np.arccos(np.clip(
+            rot_errs.append(float(np.degrees(np.arccos(np.clip(
                 (np.trace(np.asarray(reg.R[s]).T @ np.asarray(R_m)) - 1)
-                / 2, -1, 1))))
+                / 2, -1, 1)))))
             t_errs.append(float(jnp.linalg.norm(reg.t[s] - t_m)))
         gt = jnp.concatenate([t[0].reshape(-1, 3) for t in truths])
         gt_valid = jnp.concatenate([c.mask.reshape(-1) for c in clouds])

@@ -426,8 +426,15 @@ def fused_decode_triangulate(
         tau_white_k = dec.white_threshold
         tau_mod_k = dec.modulation_threshold
 
-    # pad W to lanes, H to tile
+    # pad W to lanes, H to tile. Clamp the row tile so the double-
+    # buffered frame block stays within scoped VMEM: a 36-frame f32
+    # stack at tile_h=32 is 5.9 MB/block and the kernel's total scoped
+    # allocation crossed the 16 MB limit by 6% (reproduced: the search-
+    # method two-camera graph, r5) — halve the tile until the frame
+    # block fits a 4 MB budget (uint8 stacks keep tile_h=32).
     Wp = round_up(W, 128)
+    while tile_h > 8 and F * tile_h * Wp * in_bytes > 4 * 2 ** 20:
+        tile_h //= 2
     Hp = round_up(H, tile_h)
     if (Wp, Hp) != (W, H):
         frames = jnp.pad(frames, ((0, 0), (0, Hp - H), (0, Wp - W)))
@@ -675,6 +682,9 @@ def fused_decode_triangulate_hdr(
         tau_sat_k = saturation
 
     Wp = round_up(W, 128)
+    # same scoped-VMEM clamp as the single-exposure kernel (E x F block)
+    while tile_h > 8 and E * F * tile_h * Wp * in_bytes > 4 * 2 ** 20:
+        tile_h //= 2
     Hp = round_up(H, tile_h)
     if (Wp, Hp) != (W, H):
         stacks = jnp.pad(stacks, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))

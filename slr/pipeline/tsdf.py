@@ -104,6 +104,39 @@ def _bilinear(img, valid, u, v, max_spread=None):
     return s, ok
 
 
+def _bilinear_packed(packed, u, v, max_spread):
+    """Valid-aware bilinear sample of a packed (H, W, 3) map of
+    [depth, valid, color] at float pixel coords, with ONE gather per
+    corner (see tsdf_integrate). Returns (depth, ok, color): ok when
+    all four support pixels are valid, the coordinate is in bounds,
+    and the corner depths span at most ``max_spread`` (no interpolating
+    across silhouette jumps into phantom surface)."""
+    H, W = packed.shape[:2]
+    inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    u = jnp.clip(u, 0.0, W - 1.0)
+    v = jnp.clip(v, 0.0, H - 1.0)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    s00 = packed[y0, x0]
+    s01 = packed[y0, x1]
+    s10 = packed[y1, x0]
+    s11 = packed[y1, x1]
+    ok = inb & ((s00[..., 1] * s01[..., 1] * s10[..., 1] * s11[..., 1])
+                > 0.5)
+    d_hi = jnp.maximum(jnp.maximum(s00[..., 0], s01[..., 0]),
+                       jnp.maximum(s10[..., 0], s11[..., 0]))
+    d_lo = jnp.minimum(jnp.minimum(s00[..., 0], s01[..., 0]),
+                       jnp.minimum(s10[..., 0], s11[..., 0]))
+    ok = ok & ((d_hi - d_lo) <= max_spread)
+    s = (s00 * (1 - fx) * (1 - fy) + s01 * fx * (1 - fy)
+         + s10 * (1 - fx) * fy + s11 * fx * fy)
+    return s[..., 0], ok, s[..., 2]
+
+
 @jax.jit
 def tsdf_integrate(vol: TSDFVolume, cloud: ScanCloud, cam: Camera,
                    R_s, t_s) -> TSDFVolume:
@@ -113,15 +146,22 @@ def tsdf_integrate(vol: TSDFVolume, cloud: ScanCloud, cam: Camera,
     (R_s, t_s) maps scan frame -> volume (anchor/world) frame, i.e. the
     pose recovered by registration. ``cam`` is the scan camera (at the
     rig origin, per the scan frame convention).
+
+    The depth/valid/color maps are PACKED into one (H, W, 3) array and
+    sampled with a single 4-corner gather: TPU executes random-access
+    gathers near-serially per row, so 16 scalar gathers per voxel
+    (separate depth + valid + color bilinears) cost ~4x the 4 packed
+    ones (253 -> 59 ms per 128^3 integration on the v5e).
     """
     pts_w = _voxel_centers(vol)                        # (D,H,W,3) volume frame
     # volume frame -> scan camera frame
     pts_c = jnp.einsum("ji,...j->...i", R_s, pts_w - t_s)
     uv, z_vox = project(cam, pts_c)                    # cam extrinsics: scan frame
-    depth_map = cloud.points[..., 2]
-    depth, ok = _bilinear(depth_map, cloud.mask, uv[..., 0], uv[..., 1],
-                          max_spread=vol.trunc)
-    col, _ = _bilinear(cloud.colors, cloud.mask, uv[..., 0], uv[..., 1])
+    packed = jnp.stack([cloud.points[..., 2],
+                        cloud.mask.astype(jnp.float32),
+                        cloud.colors], axis=-1)        # (H, W, 3)
+    depth, ok, col = _bilinear_packed(packed, uv[..., 0], uv[..., 1],
+                                      max_spread=vol.trunc)
 
     sdf = depth - z_vox                                # + in front of surface
     upd = ok & (z_vox > 0) & (sdf > -vol.trunc)

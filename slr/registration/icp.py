@@ -83,6 +83,7 @@ def icp_point_to_plane(
     max_corr_dist: float = 10.0,
     nn_tile: int = 2048,
     nn_method: str = "auto",
+    band_b_max: int | None = None,
 ) -> ICPResult:
     """``nn_method``: "exact" = tiled-matmul brute force; "voxel" =
     static voxel-hash 27-neighbourhood lookup (exact whenever the true
@@ -97,13 +98,18 @@ def icp_point_to_plane(
     backend."""
     nn_method = _resolve_nn_method(
         nn_method, int(src.shape[0]), int(tgt.shape[0]))
-    band_b_max = 0
-    if nn_method == "band":
-        from slr.registration.band import suggest_b_max
+    if band_b_max is None:
+        band_b_max = 0
+        if nn_method == "band":
+            from slr.registration.band import suggest_b_max
 
-        # static band cap measured from the actual geometry (one host
-        # sync per ICP call, amortized over all iterations)
-        band_b_max = suggest_b_max(src, tgt, max_corr_dist)
+            # static band cap measured from the actual geometry (one
+            # host sync per ICP call, amortized over all iterations).
+            # NOTE: this sync cannot run under an outer jit trace —
+            # callers jitting around icp_point_to_plane with the band
+            # route must precompute suggest_b_max eagerly and pass
+            # ``band_b_max`` explicitly.
+            band_b_max = suggest_b_max(src, tgt, max_corr_dist)
     return _icp_point_to_plane(
         src, tgt, tgt_normals, src_valid, tgt_valid, R0, t0,
         iters=iters, max_corr_dist=max_corr_dist, nn_tile=nn_tile,
