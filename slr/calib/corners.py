@@ -125,6 +125,172 @@ def refine_subpix(img, pts, win: int = 5, iters: int = 4,
     return jax.vmap(one)(pts.astype(jnp.float32))
 
 
+# ------------------------------------------------- device-side ordering (r5)
+
+def _h_apply_j(H, p):
+    """Apply homography H (3,3) to points p (..., 2) — jnp."""
+    w = H[2, 0] * p[..., 0] + H[2, 1] * p[..., 1] + H[2, 2]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    x = (H[0, 0] * p[..., 0] + H[0, 1] * p[..., 1] + H[0, 2]) / w
+    y = (H[1, 0] * p[..., 0] + H[1, 1] * p[..., 1] + H[1, 2]) / w
+    return jnp.stack([x, y], axis=-1)
+
+
+def _h_from_quad(src, dst):
+    """Exact homography src (4,2) -> dst (4,2) via the 8x8 linear system
+    with h22 = 1 (fine for board views: the plane never passes through
+    the camera centre, so h22 stays away from 0)."""
+    rows = []
+    rhs = []
+    for i in range(4):
+        sx, sy = src[i, 0], src[i, 1]
+        dx, dy = dst[i, 0], dst[i, 1]
+        rows.append(jnp.stack([sx, sy, 1.0, 0.0, 0.0, 0.0,
+                               -dx * sx, -dx * sy]))
+        rhs.append(dx)
+        rows.append(jnp.stack([0.0, 0.0, 0.0, sx, sy, 1.0,
+                               -dy * sx, -dy * sy]))
+        rhs.append(dy)
+    A = jnp.stack(rows)
+    b = jnp.stack(rhs)
+    h = jnp.linalg.solve(A + 1e-9 * jnp.eye(8), b)
+    return jnp.concatenate([h, jnp.ones(1)]).reshape(3, 3)
+
+
+def _h_dlt_j(src, dst, w):
+    """Weighted least-squares homography src -> dst (normalized DLT,
+    jnp SVD). w (N,) zero-masks unused rows."""
+    ws = jnp.maximum(jnp.sum(w), 1.0)
+
+    def normalize(p):
+        c = jnp.sum(p * w[:, None], 0) / ws
+        s = jnp.sqrt(2.0) / jnp.maximum(
+            jnp.sum(jnp.linalg.norm(p - c, axis=1) * w) / ws, 1e-9)
+        return (p - c) * s, c, s
+
+    sn, cs, ss = normalize(src)
+    dn, cd, sd = normalize(dst)
+    N = src.shape[0]
+    A = jnp.zeros((2 * N, 9))
+    A = A.at[0::2, 0:2].set(sn)
+    A = A.at[0::2, 2].set(1.0)
+    A = A.at[0::2, 6:8].set(-dn[:, 0:1] * sn)
+    A = A.at[0::2, 8].set(-dn[:, 0])
+    A = A.at[1::2, 3:5].set(sn)
+    A = A.at[1::2, 5].set(1.0)
+    A = A.at[1::2, 6:8].set(-dn[:, 1:2] * sn)
+    A = A.at[1::2, 8].set(-dn[:, 1])
+    A = A * jnp.repeat(w, 2)[:, None]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    Hn = vt[-1].reshape(3, 3)
+    Ts = jnp.array([[ss, 0, -ss * cs[0]], [0, ss, -ss * cs[1]], [0, 0, 1.0]])
+    Td = jnp.array([[sd, 0, -sd * cd[0]], [0, sd, -sd * cd[1]], [0, 0, 1.0]])
+    H = jnp.linalg.inv(Td) @ Hn @ Ts
+    return H / H[2, 2]
+
+
+def _extreme_quad(pts, valid):
+    """Convex quad of extreme detections, cyclic order — the device
+    replacement for scipy ConvexHull + max-area combination search:
+    p0/p1 span the farthest valid pair from the two sides of the
+    centroid's farthest point; p2/p3 are the extreme points on either
+    side of the p0-p1 line. For a perspective-projected rectangle these
+    are exactly the four board corners."""
+    big = jnp.float32(1e12)
+    pen = jnp.where(valid, 0.0, -big)
+    c = jnp.sum(jnp.where(valid[:, None], pts, 0.0), 0) / jnp.maximum(
+        jnp.sum(valid), 1.0)
+    d_c = jnp.linalg.norm(pts - c, axis=1) + pen
+    p0 = pts[jnp.argmax(d_c)]
+    d0 = jnp.linalg.norm(pts - p0, axis=1) + pen
+    p1 = pts[jnp.argmax(d0)]
+    e = p1 - p0
+    cross = (pts[:, 0] - p0[0]) * e[1] - (pts[:, 1] - p0[1]) * e[0]
+    p2 = pts[jnp.argmax(jnp.where(valid, cross, -big))]
+    p3 = pts[jnp.argmax(jnp.where(valid, -cross, -big))]
+    quad = jnp.stack([p0, p2, p1, p3])          # cyclic around the line
+    return quad
+
+
+@partial(jax.jit, static_argnames=("cols", "rows"))
+def order_corner_grid_device(pts, valid, cols: int, rows: int):
+    """Device-side grid ordering (VERDICT r4 stretch #8): the scipy
+    ConvexHull + per-assignment python loop of ``order_corner_grid``
+    replaced by fixed-capacity jitted math — extreme-quad selection, the
+    8 hull->grid assignments evaluated as a batch of exact 4-point
+    homographies (orientation-filtered by Jacobian sign), NN matching,
+    and a weighted-DLT refit on all matches.
+
+    pts (K, 2) with ``valid`` masking filler rows. Returns
+    (ordered (cols*rows, 2), rms, ok) — ok False when no orientation-
+    preserving assignment matches every grid node to a distinct
+    detection (caller falls back to the host path)."""
+    K = pts.shape[0]
+    N = cols * rows
+    ideal = jnp.asarray(
+        [[0, 0], [cols - 1, 0], [cols - 1, rows - 1], [0, rows - 1]],
+        jnp.float32)
+    jj, ii = jnp.meshgrid(jnp.arange(cols, dtype=jnp.float32),
+                          jnp.arange(rows, dtype=jnp.float32))
+    grid = jnp.stack([jj.ravel(), ii.ravel()], axis=-1)       # (N,2)
+    quad = _extreme_quad(pts, valid)
+    centre = jnp.asarray([[(cols - 1) / 2.0, (rows - 1) / 2.0]],
+                         jnp.float32)
+
+    def assignment(a):
+        flip, shift = a // 4, a % 4
+        q = jnp.where(flip == 1, quad[::-1], quad)
+        q = jnp.roll(q, shift, axis=0)
+        H = _h_from_quad(ideal, q)
+        eps = 0.1
+        dx = (_h_apply_j(H, centre + jnp.asarray([eps, 0.0]))
+              - _h_apply_j(H, centre - jnp.asarray([eps, 0.0])))[0]
+        dy = (_h_apply_j(H, centre + jnp.asarray([0.0, eps]))
+              - _h_apply_j(H, centre - jnp.asarray([0.0, eps])))[0]
+        jac = dx[0] * dy[1] - dx[1] * dy[0]
+        pred = _h_apply_j(H, grid)                            # (N,2)
+        d = jnp.linalg.norm(pred[:, None] - pts[None], axis=-1)
+        d = jnp.where(valid[None, :], d, jnp.inf)
+        nn = jnp.argmin(d, axis=1)
+        dist = jnp.min(d, axis=1)
+        distinct = jnp.sum(
+            jnp.zeros(K).at[nn].add(1.0) > 0.5) == N
+        res = jnp.mean(dist) + jnp.where(distinct, 0.0, 1e6) \
+            + jnp.where(jac > 0, 0.0, 1e9)
+        return res, nn
+
+    res_all, nn_all = jax.vmap(assignment)(jnp.arange(8))
+    best = jnp.argmin(res_all)
+    nn = nn_all[best]
+    ok = res_all[best] < 1e6
+    # refit on all matches for a tighter prediction, then rematch
+    H = _h_dlt_j(grid, pts[nn], jnp.ones(N))
+    pred = _h_apply_j(H, grid)
+    d = jnp.linalg.norm(pred[:, None] - pts[None], axis=-1)
+    d = jnp.where(valid[None, :], d, jnp.inf)
+    nn = jnp.argmin(d, axis=1)
+    dist = jnp.min(d, axis=1)
+    ok = ok & (jnp.sum(jnp.zeros(K).at[nn].add(1.0) > 0.5) == N)
+    return pts[nn], jnp.sqrt(jnp.mean(dist ** 2)), ok
+
+
+@partial(jax.jit, static_argnames=("cols", "rows"))
+def _fix_checker_orientation_device(img, ordered, cols: int, rows: int):
+    """Device version of the 180-degree tie-break (cell (0,0) is LIGHT)."""
+    jj, ii = jnp.meshgrid(jnp.arange(cols, dtype=jnp.float32),
+                          jnp.arange(rows, dtype=jnp.float32))
+    grid = jnp.stack([jj.ravel(), ii.ravel()], axis=-1)
+    H = _h_dlt_j(grid, ordered, jnp.ones(grid.shape[0]))
+    probe = _h_apply_j(H, jnp.asarray(
+        [[0.5, 0.5], [cols - 1.5, rows - 1.5]], jnp.float32))
+    h, w = img.shape
+    xy = jnp.clip(jnp.round(probe).astype(jnp.int32), 0,
+                  jnp.asarray([w - 1, h - 1]))
+    i0 = img[xy[0, 1], xy[0, 0]]
+    i1 = img[xy[1, 1], xy[1, 0]]
+    return jnp.where(i0 < i1, ordered[::-1], ordered)
+
+
 # ------------------------------------------------------------- ordering part
 
 def _dlt_homography(src, dst):
@@ -277,6 +443,21 @@ def detect_chessboard(img, cols: int, rows: int, extra: int = 12,
     img = jnp.asarray(img, jnp.float32)
     K = cols * rows
     cand, score = corner_candidates(img, K + extra, sigma=sigma)
+
+    # --- device-first path (r5, VERDICT r4 stretch #8): extreme-quad +
+    # batched-assignment ordering + orientation fix + refinement with no
+    # per-view python loops; the host combinatorial path below stays as
+    # the fallback for degenerate detections (ok=False)
+    kth_d = jnp.sort(score)[::-1][K - 1]
+    valid_d = (score > 0) & (score >= 0.5 * kth_d)
+    ordered_d, rms_d, ok_d = order_corner_grid_device(
+        cand, valid_d, cols, rows)
+    if bool(ok_d) and float(rms_d) < 3.0:
+        ordered_d = _fix_checker_orientation_device(
+            img, ordered_d, cols, rows)
+        refined = refine_subpix(img, ordered_d, win=win)
+        return np.asarray(refined), float(rms_d)
+
     cand_np = np.asarray(cand)
     score_np = np.asarray(score)
     live = score_np > 0

@@ -211,3 +211,36 @@ def test_calibrate_from_images_golden():
     # extrinsics: rotation to ~0.2 deg, baseline to ~1%
     assert np.abs(np.asarray(st.proj.R) - np.asarray(proj.R)).max() < 4e-3
     assert np.abs(np.asarray(st.proj.t) - np.asarray(proj.t)).max() < 2.0
+
+
+def test_device_grid_ordering_matches_host():
+    """order_corner_grid_device (r5: scipy hull + python assignment loop
+    replaced by fixed-capacity jitted math) must order the same corners
+    as the host path on rendered board views, with ok=True (no
+    fallback)."""
+    from slr.calib.corners import (corner_candidates, order_corner_grid,
+                                   order_corner_grid_device)
+    from slr.synth import render_board_view, board_poses
+
+    cam, proj, cfg, CAM_H, CAM_W = _board_fixture()
+    cols, rows, sq = 9, 6, 20.0
+    K = cols * rows
+    for i, (R, t) in enumerate(board_poses(3, cols, rows, sq, seed=4)):
+        bv = render_board_view(cam, proj, cfg, R, t, cols, rows, sq,
+                               CAM_H, CAM_W, noise_std=0.005,
+                               key=jax.random.PRNGKey(50 + i))
+        cand, score = corner_candidates(jnp.asarray(bv.white_image),
+                                        K + 12)
+        kth = jnp.sort(score)[::-1][K - 1]
+        valid = (score > 0) & (score >= 0.5 * kth)
+        ordered_d, rms_d, ok_d = order_corner_grid_device(
+            cand, valid, cols, rows)
+        assert bool(ok_d), i
+        sub = np.asarray(cand)[np.asarray(valid)]
+        ordered_h, rms_h = order_corner_grid(sub, cols, rows)
+        # same grid assignment up to the 180-degree ambiguity (resolved
+        # later by the checker colors, identically on both paths)
+        d = min(np.abs(np.asarray(ordered_d) - ordered_h).max(),
+                np.abs(np.asarray(ordered_d)[::-1] - ordered_h).max())
+        assert d < 1e-3, (i, d)
+        assert abs(float(rms_d) - rms_h) < 0.2, (i, float(rms_d), rms_h)
