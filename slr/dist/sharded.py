@@ -49,6 +49,12 @@ def _halo_unwrap(Phi_l, q_l, m_l, iters: int, axis: str = "pixel_tile",
     q_l = jnp.where(m_l, q_l, 0.0)
     m_f = m_l.astype(jnp.float32)
     W = Phi_l.shape[1]
+    if exchange_every < 1:
+        raise ValueError(f"exchange_every must be >= 1, got "
+                         f"{exchange_every}")
+    # the halo cannot exceed the shard height (a thinner shard just
+    # exchanges more often — still exact)
+    exchange_every = min(exchange_every, max(1, Phi_l.shape[0]))
     done = 0
     while done < iters:
         h = min(exchange_every, iters - done)

@@ -185,10 +185,11 @@ def _kernel(act_ref, cl_ref, ch_ref, pay_ref, out_ref, *, rt: int,
 
 
 @partial(jax.jit, static_argnames=("num_bins", "utile", "rt", "usub",
-                                   "ksub"))
+                                   "ksub", "ktile"))
 def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
                      utile: int = _UTILE, rt: int = _RT,
-                     usub: int = _USUB, ksub: int = _KSUB):
+                     usub: int = _USUB, ksub: int = _KSUB,
+                     ktile: int | None = None):
     """out[r, n, k] = sum_u [code_lo[r,u] <= k < code_hi[r,u]] payload[r,n,u]
     for integer bins k in [0, num_bins). Invalid pairs must arrive with
     code_lo == code_hi (never fire) and zero payload.
@@ -198,6 +199,8 @@ def crossing_bin_sum(code_lo, code_hi, payload, num_bins: int,
     f32, exact for bf16-representable payloads. ``usub``/``ksub`` set
     the in-kernel activity-pruning granularity (see _UTILE note above).
     """
+    if ktile is not None:      # r4-era kwarg: grid-level bin tiling is
+        ksub = ktile           # gone; the in-kernel subtile subsumes it
     R, U = code_lo.shape
     N = payload.shape[1]
     assert payload.shape[0] == R and payload.shape[2] == U, (

@@ -66,44 +66,6 @@ def _voxel_centers(vol: TSDFVolume):
     return vol.origin + vol.voxel * jnp.stack([x, y, z], axis=-1)
 
 
-def _bilinear(img, valid, u, v, max_spread=None):
-    """Valid-aware bilinear sample of (H, W) img at float pixel coords.
-
-    Returns (value, ok): a sample is ok when all four support pixels are
-    valid and the coordinate is in bounds (no smearing across holes).
-    When ``max_spread`` is given, samples whose four support values span
-    more than it are rejected too — at silhouette edges where foreground
-    and background are both valid, depth would otherwise interpolate
-    across the jump and integrate phantom surface into the TSDF.
-    """
-    H, W = img.shape
-    inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
-    u = jnp.clip(u, 0.0, W - 1.0)
-    v = jnp.clip(v, 0.0, H - 1.0)
-    x0 = jnp.floor(u).astype(jnp.int32)
-    y0 = jnp.floor(v).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    fx = u - x0
-    fy = v - y0
-    val = valid.astype(jnp.float32)
-    ok = inb & (
-        (val[y0, x0] * val[y0, x1] * val[y1, x0] * val[y1, x1]) > 0.5
-    )
-    s00, s01, s10, s11 = img[y0, x0], img[y0, x1], img[y1, x0], img[y1, x1]
-    if max_spread is not None:
-        hi = jnp.maximum(jnp.maximum(s00, s01), jnp.maximum(s10, s11))
-        lo = jnp.minimum(jnp.minimum(s00, s01), jnp.minimum(s10, s11))
-        ok = ok & ((hi - lo) <= max_spread)
-    s = (
-        s00 * (1 - fx) * (1 - fy)
-        + s01 * fx * (1 - fy)
-        + s10 * (1 - fx) * fy
-        + s11 * fx * fy
-    )
-    return s, ok
-
-
 def _bilinear_packed(packed, u, v, max_spread):
     """Valid-aware bilinear sample of a packed (H, W, 3) map of
     [depth, valid, color] at float pixel coords, with ONE gather per

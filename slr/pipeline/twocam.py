@@ -330,7 +330,11 @@ def invert_to_projector(x_p, y_p, mask, quality, white,
     # there would bridge two surfaces (phantom points the ray-gap gate
     # cannot see, since both cameras bridge the same jump consistently).
     # The fused route applies the same veto in-kernel (gates=).
-    fused = use_kernel and max(H, W) <= 2560
+    # fused route needs the full row in one block AND its per-row
+    # (num_bins, pairs) one-hot to fit scoped VMEM (16 MB): bound
+    # Kp * Up * 4 B well under it; larger rigs take the tiled route
+    fused = (use_kernel and max(H, W) <= 2560
+             and max(proj_w, proj_h) * max(H, W) * 4 <= 8 * 2 ** 20)
     if fused:
         cnt1, (u1, y1, q1, w1) = crossing_interp_fused(
             x_p, mask, ch1, proj_w, interp=(True, True, False, False),
@@ -477,8 +481,13 @@ def reconstruct_two_camera(
     # decode through the fused Pallas kernel's decode_only route when the
     # config supports it (r5: the pure-JAX decode_stack was ~2 ms/camera
     # of the merge path's 8 ms — the kernel reads the frame stack once
-    # and emits the code maps at HBM speed; no projector model needed)
-    if cfg.coding == "gray_phase" and cfg.use_inverse and cfg.phase_steps:
+    # and emits the code maps at HBM speed; no projector model needed).
+    # Off-accelerator the kernel would run in interpret mode — strictly
+    # slower than the vectorized decode_stack — so gate on the backend.
+    from slr.kernels.common import use_interpret
+
+    if (cfg.coding == "gray_phase" and cfg.use_inverse and cfg.phase_steps
+            and not use_interpret()):
         from slr.codec.patterns import DecodeResult
         from slr.kernels.fused_scan import fused_decode_triangulate
 

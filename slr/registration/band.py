@@ -139,7 +139,15 @@ def _band_kernel(sref, qc_ref, tc_ref, tv_ref, out_ref):
         t2 = jnp.sum(t * t, axis=0, keepdims=True)          # (1, Tt)
         sc = t2 - 2.0 * qt
         tmin = jnp.min(sc, axis=1, keepdims=True)           # (Qt, 1)
-        oh = (sc <= tmin).astype(jnp.float32)               # ties summed
+        # tie-break to the FIRST (lowest-index) minimizer: exact ties
+        # (duplicate target points) would otherwise be summed and the
+        # averaged idx digits decode to an unrelated index. Across
+        # tiles the strict `tmin < best` below already keeps the first.
+        ties = sc <= tmin
+        lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        first = jnp.min(jnp.where(ties, lane, jnp.int32(1 << 30)),
+                        axis=1, keepdims=True)
+        oh = (ties & (lane == first)).astype(jnp.float32)
         vals = jax.lax.dot_general(
             oh, tv_ref[:, :], (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,

@@ -101,15 +101,25 @@ def icp_point_to_plane(
     if band_b_max is None:
         band_b_max = 0
         if nn_method == "band":
-            from slr.registration.band import suggest_b_max
+            if isinstance(src, jax.core.Tracer):
+                # inside an outer jit/vmap trace the band cap's host
+                # sync cannot run; stay correct on the exact route
+                # (callers wanting band under jit pass band_b_max
+                # precomputed via suggest_b_max)
+                nn_method = "exact"
+            else:
+                from slr.registration.band import suggest_b_max
 
-            # static band cap measured from the actual geometry (one
-            # host sync per ICP call, amortized over all iterations).
-            # NOTE: this sync cannot run under an outer jit trace —
-            # callers jitting around icp_point_to_plane with the band
-            # route must precompute suggest_b_max eagerly and pass
-            # ``band_b_max`` explicitly.
-            band_b_max = suggest_b_max(src, tgt, max_corr_dist)
+                # static band cap measured from the actual geometry at
+                # the INITIAL POSE (one host sync per ICP call,
+                # amortized over all iterations) — measuring at the raw
+                # source positions would under-cap the band whenever a
+                # coarse-alignment init moves the cloud along the sort
+                # axis
+                moved0 = src if R0 is None else src @ R0.T
+                if t0 is not None:
+                    moved0 = moved0 + t0
+                band_b_max = suggest_b_max(moved0, tgt, max_corr_dist)
     return _icp_point_to_plane(
         src, tgt, tgt_normals, src_valid, tgt_valid, R0, t0,
         iters=iters, max_corr_dist=max_corr_dist, nn_tile=nn_tile,

@@ -447,3 +447,23 @@ def test_icp_band_nn_matches_exact():
     np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_true),
                                atol=0.5)
     assert float(res.rms) < 0.2
+
+
+def test_band_nn_duplicate_targets_tie_break():
+    """Exact score ties (duplicate target points, common after merging
+    scans) must resolve to ONE valid index — the kernel tie-breaks to
+    the lowest sorted lane instead of summing the tied payloads (which
+    decoded to an unrelated averaged index)."""
+    from slr.registration import band_nearest_neighbors
+
+    rng = np.random.default_rng(0)
+    tgt = np.array([[0.0, 0, 0], [5, 0, 0], [5, 0, 0], [9, 0, 0]],
+                   np.float32)
+    tgt = np.concatenate(
+        [tgt, rng.uniform(20, 90, (200, 3)).astype(np.float32)])
+    qry = np.array([[5.1, 0, 0], [0.2, 0, 0]], np.float32)
+    idx, d2 = band_nearest_neighbors(jnp.asarray(qry), jnp.asarray(tgt),
+                                     max_corr_dist=10.0, qt=128, tt=128)
+    assert int(idx[0]) in (1, 2)
+    assert abs(float(d2[0]) - 0.01) < 1e-3
+    assert int(idx[1]) == 0
